@@ -1,0 +1,207 @@
+"""IOC enrichment operators (SURVEY.md §2.4, J1-J4) — the "enrich" stage.
+
+The reference does per-row binary search over sorted IOC vectors
+(src/main.rs:456-501) and linear regex scans (src/modules/
+filesystem_scan.rs:824-846). Spark-first renderings:
+
+* J1 hash-IOC lookup  -> three broadcast hash equi-joins (beats the
+  reference's O(log n) binary search: O(1) per probe, fully JVM-side);
+* J2 FP-hash anti-lookup -> broadcast LEFT ANTI joins placed UPSTREAM of
+  the expensive matcher stage (manual stage ordering the reference does by
+  short-circuiting, src/modules/filesystem_scan.rs:854-859 — Catalyst will
+  not reorder across an opaque UDF, so we do it ourselves);
+* J3 filename-IOC regex theta-join -> per-IOC static `rlike` predicates
+  generated at plan-build time (whole-stage codegen'd; the pattern list is
+  broadcast implicitly as literals). The Arrow UDF matcher in matcher.py is
+  the scale path for very large pattern sets;
+* J4 C2 suffix theta-join -> host extraction with `regexp_extract_all` +
+  a generated first-match-wins CASE chain inside `transform` (higher-order
+  function, no UDF, preserves per-host duplication semantics of
+  src/modules/process_check.rs:546-567).
+
+All reason structs share REASON_TYPE and are assembled in the reference's
+discovery order by the pipeline (filename -> md5 -> sha1 -> sha256 -> YARA
+-> C2; SURVEY.md §2.5 A3).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..signatures.model import C2IOC, FilenameIOC, SignatureSet
+
+REASON_TYPE = (
+    "struct<message:string,score:int,description:string,author:string,"
+    "reference:string,matched_strings:array<string>>"
+)
+
+HASH_TYPES = ("md5", "sha1", "sha256")
+
+# Host-like tokens in turn text: IPv4 or dotted domain. Kept to a regex
+# subset that behaves identically in Java regex (Spark), RE2 (DuckDB) and
+# Python `re` so engine and oracle agree.
+HOST_PATTERN = r"\b(?:(?:\d{1,3}\.){3}\d{1,3}|[a-z0-9][a-z0-9.-]*\.[a-z]{2,})\b"
+IPV4_PATTERN = r"^(?:\d{1,3}\.){3}\d{1,3}$"
+
+
+def reason_struct(
+    message: Column,
+    score: Column,
+    description: Column,
+    author: Column | None = None,
+    reference: Column | None = None,
+    matched_strings: Column | None = None,
+) -> Column:
+    null_str = F.lit(None).cast("string")
+    null_arr = F.lit(None).cast("array<string>")
+    return F.struct(
+        message.alias("message"),
+        score.cast("int").alias("score"),
+        description.alias("description"),
+        (author if author is not None else null_str).alias("author"),
+        (reference if reference is not None else null_str).alias("reference"),
+        (matched_strings if matched_strings is not None else null_arr).alias(
+            "matched_strings"
+        ),
+    )
+
+
+def empty_reason_array() -> Column:
+    return F.lit(None).cast(f"array<{REASON_TYPE}>")
+
+
+def anti_join_fp_hashes(
+    spark: SparkSession, df: DataFrame, sigs: SignatureSet
+) -> DataFrame:
+    """J2: drop any row whose md5/sha1/sha256 appears in the FP table —
+    BEFORE matching, so the expensive stages never see the row. Three
+    broadcast anti-joins (each a BroadcastHashJoin, no shuffle)."""
+    for hash_type in HASH_TYPES:
+        values = [h.hash_value for h in sigs.hashes_of_type(hash_type, fp=True)]
+        if not values:
+            continue
+        fp_df = spark.createDataFrame(
+            [(v,) for v in values], f"fp_{hash_type}_value string"
+        )
+        df = df.join(
+            F.broadcast(fp_df),
+            df[hash_type] == fp_df[f"fp_{hash_type}_value"],
+            "left_anti",
+        )
+    return df
+
+
+def hash_reason_array(
+    spark: SparkSession, df: DataFrame, sigs: SignatureSet
+) -> tuple[DataFrame, Column]:
+    """J1: broadcast left joins per hash type; at most one IOC fires per
+    type and all three can fire (src/modules/filesystem_scan.rs:862-896).
+    Message format "HASH match with IOC HASH: {hash}" (ibid.).
+    Returns the joined df and the array<reason> column in md5,sha1,sha256
+    discovery order."""
+    reason_cols: list[Column] = []
+    for hash_type in HASH_TYPES:
+        iocs = sigs.hashes_of_type(hash_type)
+        if not iocs:
+            continue
+        ioc_df = spark.createDataFrame(
+            [(h.hash_value, h.score, h.description) for h in iocs],
+            f"ioc_{hash_type}_hash string, ioc_{hash_type}_score int, "
+            f"ioc_{hash_type}_desc string",
+        )
+        df = df.join(
+            F.broadcast(ioc_df),
+            df[hash_type] == ioc_df[f"ioc_{hash_type}_hash"],
+            "left",
+        )
+        hit = F.col(f"ioc_{hash_type}_hash")
+        reason_cols.append(
+            F.when(
+                hit.isNotNull(),
+                reason_struct(
+                    F.concat(F.lit("HASH match with IOC HASH: "), hit),
+                    F.col(f"ioc_{hash_type}_score"),
+                    F.col(f"ioc_{hash_type}_desc"),
+                ),
+            )
+        )
+    if not reason_cols:
+        return df, F.array().cast(f"array<{REASON_TYPE}>")
+    arr = F.filter(F.array(*reason_cols), lambda x: x.isNotNull())
+    return df, arr
+
+
+def filename_reason_array(tool: Column, iocs: list[FilenameIOC]) -> Column:
+    """J3 (Catalyst rendering): one static rlike predicate pair per IOC.
+    The reference tests each regex against the full path AND the bare
+    filename (src/modules/filesystem_scan.rs:824-846); for turns, `tool`
+    plays both roles, so a single rlike per pattern suffices. A match is
+    suppressed iff the IOC's fp_regex also matches. Message format
+    "File Name IOC matched PATTERN: {pattern}" (ibid.)."""
+    if not iocs:
+        return F.array().cast(f"array<{REASON_TYPE}>")
+    items = []
+    for ioc in iocs:
+        cond = tool.rlike(ioc.pattern)
+        if ioc.fp_pattern:
+            cond = cond & ~tool.rlike(ioc.fp_pattern)
+        items.append(
+            F.when(
+                cond,
+                reason_struct(
+                    F.lit(f"File Name IOC matched PATTERN: {ioc.pattern}"),
+                    F.lit(ioc.score),
+                    F.lit(ioc.description),
+                ),
+            )
+        )
+    return F.filter(F.array(*items), lambda x: x.isNotNull())
+
+
+def _is_ipv4_literal(server: str) -> bool:
+    parts = server.split(".")
+    if len(parts) != 4:
+        return False
+    try:
+        return all(0 <= int(p) <= 255 for p in parts)
+    except ValueError:
+        return False
+
+
+def c2_reason_array(text: Column, iocs: list[C2IOC]) -> Column:
+    """J4: extract host-like tokens from the lowercased turn text (the
+    transcript analog of a process's remote connections), then match each
+    host against the C2 list — first matching IOC wins per host, one
+    reason PER HOST occurrence (duplication semantics of
+    src/modules/process_check.rs:546-567). IPv4 remotes match by equality
+    only; domains by suffix-or-equality (src/main.rs:612-651).
+
+    Message adapts the reference's "C2 IOC match in remote address IP: {ip}
+    PORT: {port}" to "C2 IOC match in turn text HOST: {host}" since turns
+    carry no port."""
+    if not iocs:
+        return F.array().cast(f"array<{REASON_TYPE}>")
+    hosts = F.regexp_extract_all(F.lower(text), F.lit(HOST_PATTERN), 0)
+
+    def first_match(host: Column) -> Column:
+        is_ip = host.rlike(IPV4_PATTERN)
+        result = F.lit(None).cast(REASON_TYPE)
+        for ioc in reversed(iocs):
+            cond = (is_ip & (host == F.lit(ioc.server))) | (
+                ~is_ip
+                & (host.endswith(F.lit(ioc.server)) | (host == F.lit(ioc.server)))
+            )
+            result = F.when(
+                cond,
+                reason_struct(
+                    F.concat(F.lit("C2 IOC match in turn text HOST: "), host),
+                    F.lit(ioc.score),
+                    F.lit(ioc.description),
+                ),
+            ).otherwise(result)
+        return result
+
+    return F.filter(F.transform(hosts, first_match), lambda x: x.isNotNull())

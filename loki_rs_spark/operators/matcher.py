@@ -1,0 +1,209 @@
+"""The vectorized multi-pattern matcher (P5 + the scale path for J3).
+
+The reference compiles all YARA rules into ONE shared automaton at startup
+and reuses it across threads (src/main.rs:780-851, fresh cheap Scanner per
+row, src/modules/filesystem_scan.rs:1010-1011). The Spark analog:
+
+* the SignatureSet is pickled once on the driver and broadcast;
+* each executor PROCESS compiles it exactly once into a `CompiledEngine`
+  (module-level cache keyed by the payload's sha256) and reuses it for
+  every Arrow batch — the "compile-once shared automaton" pattern at
+  executor granularity;
+* matching is an Arrow-batched pandas UDF: per signature string, ONE
+  vectorized `Series.str.contains` over the whole batch (C-level regex
+  loop), then per-rule boolean algebra on the masks. Row-level work
+  (matched-string offsets) happens ONLY for the sparse set of hit rows.
+
+Match semantics mirrored from src/modules/filesystem_scan.rs:1002-1136:
+* rule score from meta.score, default 75, valid iff 0 < s <= 100;
+* matched strings formatted "{identifier}: {value} @ {offset}" with
+  printable text quoted/escaped and non-printable hex-encoded
+  (format_yara_matched_data, ibid.:986-1000). Offsets here are character
+  offsets; for the ASCII corpus these equal the reference's byte offsets;
+* rules report in definition order; per-row YARA match cap 100.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..signatures.model import SignatureSet, YaraRule
+
+MAX_YARA_MATCHES = 100
+
+FNAME_MATCH_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("pattern", StringType()),
+            StructField("score", IntegerType()),
+            StructField("description", StringType()),
+        ]
+    )
+)
+YARA_MATCH_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("rule", StringType()),
+            StructField("score", IntegerType()),
+            StructField("description", StringType()),
+            StructField("author", StringType()),
+            StructField("reference", StringType()),
+            StructField("matched_strings", ArrayType(StringType())),
+        ]
+    )
+)
+MATCH_RESULT_TYPE = StructType(
+    [
+        StructField("fname", FNAME_MATCH_TYPE),
+        StructField("yara", YARA_MATCH_TYPE),
+    ]
+)
+
+_PRINTABLE_EXTRA = {"\t", "\n", "\r"}
+
+
+def format_matched_data(value: str) -> str:
+    """Mirror of format_yara_matched_data (filesystem_scan.rs:986-1000):
+    printable text (control chars only \\t \\n \\r allowed) is quoted with
+    Rust escape_debug-style escaping, else hex of the UTF-8 bytes."""
+    if all(c.isprintable() or c in _PRINTABLE_EXTRA for c in value):
+        escaped = (
+            value.replace("\\", "\\\\")
+            .replace("'", "\\'")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\t", "\\t")
+            .replace("\r", "\\r")
+        )
+        return f"'{escaped}'"
+    return value.encode("utf-8").hex()
+
+
+@dataclass
+class _CompiledYaraRule:
+    rule: YaraRule
+    patterns: list[tuple[str, re.Pattern]]  # (identifier, compiled)
+    needed: int
+
+
+class CompiledEngine:
+    """Per-executor compiled signature engine."""
+
+    def __init__(self, sigs: SignatureSet) -> None:
+        self.fname = [
+            (
+                re.compile(ioc.pattern),
+                re.compile(ioc.fp_pattern) if ioc.fp_pattern else None,
+                ioc,
+            )
+            for ioc in sigs.filename_iocs
+        ]
+        self.yara: list[_CompiledYaraRule] = []
+        for rule in sigs.yara_rules:
+            patterns = []
+            for s in rule.strings:
+                flags = re.IGNORECASE if s.nocase else 0
+                source = s.pattern if s.is_regex else re.escape(s.pattern)
+                patterns.append((s.identifier, re.compile(source, flags)))
+            if rule.condition == "any":
+                needed = 1
+            elif rule.condition == "all":
+                needed = len(patterns)
+            else:
+                needed = int(rule.condition)
+            self.yara.append(_CompiledYaraRule(rule, patterns, needed))
+
+    def match_batch(self, text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+        n = len(text)
+        text = text.fillna("")
+        tool = tool.fillna("")
+        fname_out: list[list[dict]] = [[] for _ in range(n)]
+        yara_out: list[list[dict]] = [[] for _ in range(n)]
+
+        # J3: filename IOCs — vectorized contains per pattern.
+        for rx, fp_rx, ioc in self.fname:
+            mask = tool.str.contains(rx, regex=True, na=False)
+            if fp_rx is not None:
+                mask &= ~tool.str.contains(fp_rx, regex=True, na=False)
+            for i in mask.to_numpy().nonzero()[0]:
+                fname_out[i].append(
+                    {
+                        "pattern": ioc.pattern,
+                        "score": ioc.score,
+                        "description": ioc.description,
+                    }
+                )
+
+        # P5: YARA subset — one vectorized pass per string pattern, then
+        # per-rule mask algebra; offsets only for hit rows.
+        for compiled in self.yara:
+            masks = [
+                text.str.contains(rx, regex=True, na=False).to_numpy()
+                for _, rx in compiled.patterns
+            ]
+            counts = sum(m.astype("int32") for m in masks)
+            hits = (counts >= compiled.needed).nonzero()[0]
+            for i in hits:
+                if len(yara_out[i]) >= MAX_YARA_MATCHES:
+                    continue
+                row_text = text.iat[i]
+                matched_strings: list[str] = []
+                for (identifier, rx), mask in zip(compiled.patterns, masks):
+                    if not mask[i]:
+                        continue
+                    for m in rx.finditer(row_text):
+                        matched_strings.append(
+                            f"{identifier}: {format_matched_data(m.group(0))}"
+                            f" @ {m.start()}"
+                        )
+                rule = compiled.rule
+                yara_out[i].append(
+                    {
+                        "rule": rule.name,
+                        "score": rule.score,
+                        "description": rule.description,
+                        "author": rule.author,
+                        "reference": rule.reference,
+                        "matched_strings": matched_strings,
+                    }
+                )
+
+        return pd.DataFrame({"fname": fname_out, "yara": yara_out})
+
+
+_ENGINE_CACHE: dict[str, CompiledEngine] = {}
+
+
+def _engine_for(payload: bytes) -> CompiledEngine:
+    key = hashlib.sha256(payload).hexdigest()
+    engine = _ENGINE_CACHE.get(key)
+    if engine is None:
+        engine = CompiledEngine(SignatureSet.from_payload(payload))
+        _ENGINE_CACHE[key] = engine
+    return engine
+
+
+def make_matcher_udf(spark: SparkSession, sigs: SignatureSet):
+    """Build the Arrow-batched matcher UDF with the signature payload
+    broadcast to executors (torrent broadcast on a real cluster; the
+    compiled engine itself is cached per executor process)."""
+    bc = spark.sparkContext.broadcast(sigs.to_payload())
+
+    @pandas_udf(MATCH_RESULT_TYPE)
+    def match_signatures(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+        return _engine_for(bc.value).match_batch(text, tool)
+
+    return match_signatures

@@ -1,0 +1,200 @@
+"""The scan pipeline — the reference's per-row dataflow
+(src/modules/filesystem_scan.rs:559-979, SURVEY.md §3.2) re-expressed as one
+declarative Spark plan:
+
+    filters (F3/F7)
+      -> hash projection (P1, JVM built-ins)
+      -> FP broadcast ANTI join (J2, placed upstream of the UDF on purpose)
+      -> Arrow matcher UDF (J3 filename IOCs + P5 YARA subset)
+      -> hash-IOC broadcast joins (J1)
+      -> C2 host extraction + suffix match (J4, higher-order functions)
+      -> reason assembly in discovery order (A3: filename -> md5 -> sha1
+         -> sha256 -> YARA -> C2), capped at 100 (O4)
+      -> weighted score fold (A1, array fold, no shuffle) -> round (i16
+         parity) -> severity classify (A2) -> below-notice drop
+      -> shown-reason slice (A3, default 2)
+
+Everything except the matcher UDF is whole-stage-codegen'd Catalyst; the
+entire pipeline is embarrassingly row-parallel — NO shuffle from scan to
+routed rows, so it scales linearly with executors (the north rule's
+scaling-efficiency criterion). At 100 TB the only data movement is the
+parquet/Iceberg scan itself plus the broadcast of the (small) IOC tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, ScanConfig
+from ..functions.score import rounded_score_col, severity_col, weighted_score_col
+from ..operators.filters import apply_exclusions, apply_size_filter
+from ..operators.hashes import with_hashes
+from ..operators.ioc_join import (
+    REASON_TYPE,
+    anti_join_fp_hashes,
+    c2_reason_array,
+    filename_reason_array,
+    hash_reason_array,
+    reason_struct,
+)
+from ..operators.matcher import make_matcher_udf
+from ..signatures.model import SignatureSet
+
+
+@dataclass
+class ScanResult:
+    """The pipeline's stages, each a (lazy) DataFrame:
+
+    * ``scanned``  — rows surviving the cheap filters (= the reference's
+      "scanned" counter basis; FP-hash rows still count as scanned);
+    * ``evaluated`` — every scanned, non-FP row with its full reason array
+      and score (including matched-below-threshold rows, level NULL);
+    * ``routed``  — rows with level ALERT/WARNING/NOTICE and shown reasons
+      sliced to max_reasons: the JSONL-sink-equivalent fact rows.
+    """
+
+    scanned: DataFrame
+    evaluated: DataFrame
+    routed: DataFrame
+
+
+def _nz(arr: Column) -> Column:
+    return F.coalesce(arr, F.array().cast(f"array<{REASON_TYPE}>"))
+
+
+def scan_transcripts(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    sigs: SignatureSet,
+    cfg: ScanConfig = DEFAULT_CONFIG,
+    use_udf_matcher: bool = True,
+) -> ScanResult:
+    df = apply_exclusions(transcripts, cfg.exclude_patterns)
+    df = apply_size_filter(df, cfg.max_text_chars)
+    scanned = df
+
+    df = with_hashes(df)
+    df = anti_join_fp_hashes(spark, df, sigs)
+
+    if use_udf_matcher:
+        matcher = make_matcher_udf(spark, sigs)
+        df = df.withColumn("_m", matcher(F.col("text"), F.col("tool")))
+        fname_reasons = F.transform(
+            F.col("_m.fname"),
+            lambda m: reason_struct(
+                F.concat(
+                    F.lit("File Name IOC matched PATTERN: "), m["pattern"]
+                ),
+                m["score"],
+                m["description"],
+            ),
+        )
+        yara_reasons = F.transform(
+            F.col("_m.yara"),
+            lambda m: reason_struct(
+                F.concat(F.lit("YARA match with rule "), m["rule"]),
+                m["score"],
+                F.nullif(m["description"], F.lit("")),
+                F.nullif(m["author"], F.lit("")),
+                F.nullif(m["reference"], F.lit("")),
+                F.when(F.size(m["matched_strings"]) > 0, m["matched_strings"]),
+            ),
+        )
+    else:
+        fname_reasons = filename_reason_array(
+            F.col("tool"), list(sigs.filename_iocs)
+        )
+        # Catalyst fallback for the YARA subset: per-rule static predicates.
+        # matched_strings are not captured on this path (no offsets without
+        # the UDF); everything else is identical.
+        yara_items = []
+        for rule in sigs.yara_rules:
+            conds = []
+            for s in rule.strings:
+                pat = s.pattern if s.is_regex else _re_escape_java(s.pattern)
+                c = F.col("text").rlike(f"(?i){pat}" if s.nocase else pat)
+                conds.append(c)
+            if rule.condition == "any":
+                fired = F.lit(False)
+                for c in conds:
+                    fired = fired | c
+            elif rule.condition == "all":
+                fired = F.lit(True)
+                for c in conds:
+                    fired = fired & c
+            else:
+                needed = int(rule.condition)
+                count = sum(
+                    (c.cast("int") for c in conds), F.lit(0)
+                )
+                fired = count >= needed
+            yara_items.append(
+                F.when(
+                    fired,
+                    reason_struct(
+                        F.lit(f"YARA match with rule {rule.name}"),
+                        F.lit(rule.score),
+                        F.lit(rule.description or None),
+                        F.lit(rule.author or None),
+                        F.lit(rule.reference or None),
+                    ),
+                )
+            )
+        yara_reasons = (
+            F.filter(F.array(*yara_items), lambda x: x.isNotNull())
+            if yara_items
+            else F.array().cast(f"array<{REASON_TYPE}>")
+        )
+
+    df, hash_reasons = hash_reason_array(spark, df, sigs)
+    c2_reasons = c2_reason_array(F.col("text"), list(sigs.c2_iocs))
+
+    all_reasons = F.slice(
+        F.concat(
+            _nz(fname_reasons), _nz(hash_reasons), _nz(yara_reasons), _nz(c2_reasons)
+        ),
+        1,
+        cfg.max_matches,
+    )
+
+    sub_scores = F.transform(all_reasons, lambda r: r["score"])
+    raw_score = weighted_score_col(sub_scores)
+    score = rounded_score_col(raw_score)
+    level = severity_col(score, cfg)
+
+    evaluated = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.length("text").alias("text_len"),
+        "md5",
+        "sha1",
+        "sha256",
+        all_reasons.alias("all_reasons"),
+        F.size(all_reasons).alias("n_reasons"),
+        score.alias("score"),
+        level.alias("level"),
+    )
+
+    routed = (
+        evaluated.filter(F.col("n_reasons") > 0)
+        .filter(F.col("level").isNotNull())
+        .withColumn(
+            "reasons", F.slice(F.col("all_reasons"), 1, cfg.max_reasons)
+        )
+    )
+
+    return ScanResult(scanned=scanned, evaluated=evaluated, routed=routed)
+
+
+def _re_escape_java(literal: str) -> str:
+    """Escape a literal for Java regex (subset that also round-trips via
+    Python re.escape for the characters our corpus uses)."""
+    import re as _re
+
+    return _re.escape(literal)

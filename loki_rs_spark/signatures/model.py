@@ -1,0 +1,83 @@
+"""Signature ("dimension table") model.
+
+Mirrors the reference's in-memory signature collections (SURVEY.md §1.2):
+HashIOC (src/main.rs:218-233), FilenameIOC (src/main.rs:245-252),
+C2IOC (src/main.rs:254-259), and a declarative subset of YARA rules
+(src/main.rs:780-872 compiles full yara-x; we model the string/regex +
+any/all-of subset the bundled corpus uses).
+
+Everything is a plain picklable dataclass so a SignatureSet can be broadcast
+to executors once and compiled into a per-executor cached matcher.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class HashIOC:
+    hash_value: str  # lowercased hex
+    hash_type: str  # 'md5' | 'sha1' | 'sha256'
+    score: int
+    description: str
+
+
+@dataclass(frozen=True)
+class FilenameIOC:
+    pattern: str  # regex, case-sensitive (reference compiles verbatim)
+    score: int
+    description: str
+    fp_pattern: str | None = None  # suppresses the match when it also matches
+
+
+@dataclass(frozen=True)
+class C2IOC:
+    server: str  # lowercased; IPv4 => exact match, else suffix match
+    score: int
+    description: str
+
+
+@dataclass(frozen=True)
+class YaraString:
+    identifier: str  # includes the leading '$'
+    pattern: str  # literal text or regex body
+    is_regex: bool = False
+    nocase: bool = False
+
+
+@dataclass(frozen=True)
+class YaraRule:
+    name: str
+    score: int  # meta.score, default 75, valid iff 0 < s <= 100
+    description: str
+    author: str
+    reference: str
+    strings: tuple[YaraString, ...]
+    condition: str  # 'any' | 'all' | an int rendered as str (N of them)
+
+
+@dataclass(frozen=True)
+class SignatureSet:
+    hash_iocs: tuple[HashIOC, ...] = ()
+    fp_hashes: tuple[HashIOC, ...] = ()
+    filename_iocs: tuple[FilenameIOC, ...] = ()
+    c2_iocs: tuple[C2IOC, ...] = ()
+    yara_rules: tuple[YaraRule, ...] = ()
+
+    def hashes_of_type(self, hash_type: str, fp: bool = False) -> list[HashIOC]:
+        src = self.fp_hashes if fp else self.hash_iocs
+        return [h for h in src if h.hash_type == hash_type]
+
+    def to_payload(self) -> bytes:
+        return pickle.dumps(self)
+
+    @staticmethod
+    def from_payload(payload: bytes) -> "SignatureSet":
+        return pickle.loads(payload)
+
+    @property
+    def fingerprint(self) -> str:
+        return hashlib.sha256(self.to_payload()).hexdigest()[:16]

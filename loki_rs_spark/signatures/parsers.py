@@ -1,0 +1,272 @@
+"""Parsers for the reference's signature file dialects.
+
+Semantics mirrored line-by-line from the reference loaders:
+
+* hash IOCs        — src/main.rs:270-355   (';' CSV, 2/3 columns, type by
+                     hash length 32/40/64, score valid iff 0 < s <= 100
+                     else default 75, non-numeric score column => 2-column
+                     form with that column as description)
+* FP hashes        — src/main.rs:357-453   (same format; loaded from every
+                     file whose name contains both "hash" and
+                     "falsepositive"; score unused)
+* filename IOCs    — src/main.rs:653-771   (pattern[;score[;fp_regex]],
+                     preceding '# ...' line becomes the description,
+                     invalid main regex => skip, invalid fp regex => None)
+* C2 IOCs          — src/main.rs:503-610   (server[;score], loaded from
+                     every file whose name contains "c2", preceding '#'
+                     comment = description reset per file, entries < 4
+                     chars dropped, lowercased)
+* YARA subset      — src/main.rs:780-872 compiles full yara-x; here we
+                     parse the declarative subset (string/regex patterns +
+                     any/all/N-of-them conditions, meta score/description/
+                     author/reference with the same score-validity window,
+                     src/modules/filesystem_scan.rs:1044-1088).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from .model import C2IOC, FilenameIOC, HashIOC, SignatureSet, YaraRule, YaraString
+
+DEFAULT_SCORE = 75
+
+_HASH_LEN_TO_TYPE = {32: "md5", 40: "sha1", 64: "sha256"}
+
+
+def hash_type_of(value: str) -> str | None:
+    """Hash type by length, as in src/main.rs:493-501."""
+    if not re.fullmatch(r"[0-9a-fA-F]+", value or ""):
+        return None
+    return _HASH_LEN_TO_TYPE.get(len(value))
+
+
+def _parse_score(raw: str) -> int | None:
+    """Return the score if parseable, else None. Caller applies the
+    (0, 100] validity window and the default-75 fallback."""
+    try:
+        return int(raw.strip())
+    except ValueError:
+        return None
+
+
+def _valid_score(s: int) -> bool:
+    return 0 < s <= 100
+
+
+def parse_hash_iocs(text: str) -> list[HashIOC]:
+    iocs: list[HashIOC] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(";")
+        hash_value = parts[0].strip().lower()
+        if not hash_value:
+            continue
+        hash_type = hash_type_of(hash_value)
+        if hash_type is None:
+            continue
+        if len(parts) >= 3:
+            score = _parse_score(parts[1])
+            if score is None:
+                # non-numeric score column => treat as 2-column format
+                score, description = DEFAULT_SCORE, parts[1].strip()
+            elif _valid_score(score):
+                description = parts[2].strip()
+            else:
+                score, description = DEFAULT_SCORE, parts[2].strip()
+        elif len(parts) == 2:
+            score, description = DEFAULT_SCORE, parts[1].strip()
+        else:
+            continue
+        iocs.append(HashIOC(hash_value, hash_type, score, description))
+    # reference sorts for binary search (src/main.rs:352); a Spark broadcast
+    # hash join needs no sort, but keep the order deterministic anyway
+    iocs.sort(key=lambda h: h.hash_value)
+    return iocs
+
+
+def parse_filename_iocs(text: str) -> list[FilenameIOC]:
+    iocs: list[FilenameIOC] = []
+    description = "N/A"
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        parts = line.split(";")
+        if parts[0].startswith("#"):
+            if len(parts) == 1:
+                # comment line => description for following entries
+                body = parts[0][2:] if parts[0].startswith("# ") else parts[0][1:]
+                description = body.strip()
+            continue
+        pattern = parts[0].strip()
+        if not pattern:
+            continue
+        score = DEFAULT_SCORE
+        if len(parts) >= 2:
+            parsed = _parse_score(parts[1])
+            if parsed is not None and _valid_score(parsed):
+                score = parsed
+        fp_pattern: str | None = None
+        if len(parts) >= 3 and parts[2].strip():
+            candidate = parts[2].strip()
+            try:
+                re.compile(candidate)
+                fp_pattern = candidate
+            except re.error:
+                fp_pattern = None
+        try:
+            re.compile(pattern)
+        except re.error:
+            continue  # invalid main regex => skip entry
+        iocs.append(FilenameIOC(pattern, score, description, fp_pattern))
+    return iocs
+
+
+def parse_c2_iocs(text: str) -> list[C2IOC]:
+    iocs: list[C2IOC] = []
+    last_comment = ""
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("#"):
+            last_comment = line.lstrip("#").strip()
+            continue
+        parts = line.split(";")
+        server = parts[0].strip().lower()
+        if len(server) < 4:
+            continue
+        score = DEFAULT_SCORE
+        if len(parts) >= 2:
+            parsed = _parse_score(parts[1])
+            if parsed is not None and _valid_score(parsed):
+                score = parsed
+        iocs.append(C2IOC(server, score, last_comment))
+    return iocs
+
+
+_RULE_RE = re.compile(
+    r"rule\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*(?::[^{]*)?\{(?P<body>.*?)\n\}",
+    re.DOTALL,
+)
+_META_RE = re.compile(r"(?P<key>\w+)\s*=\s*(?P<val>\"(?:[^\"\\]|\\.)*\"|\d+)")
+_STRING_RE = re.compile(
+    r"(?P<id>\$\w*)\s*=\s*(?P<val>\"(?:[^\"\\]|\\.)*\"|/(?:[^/\\]|\\.)+/)"
+    r"(?P<mods>[^\n]*)"
+)
+_COND_RE = re.compile(r"(?P<n>any|all|\d+)\s+of\s+them")
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return (
+        body.replace("\\\"", "\"")
+        .replace("\\\\", "\\")
+        .replace("\\n", "\n")
+        .replace("\\t", "\t")
+        .replace("\\r", "\r")
+    )
+
+
+def parse_yara_rules(text: str) -> list[YaraRule]:
+    rules: list[YaraRule] = []
+    for m in _RULE_RE.finditer(text):
+        body = m.group("body")
+        sections: dict[str, str] = {}
+        current = None
+        for line in body.splitlines():
+            stripped = line.strip()
+            header = re.match(r"(meta|strings|condition)\s*:\s*(.*)", stripped)
+            if header:
+                current = header.group(1)
+                sections[current] = header.group(2) + "\n"
+            elif current:
+                sections[current] += line + "\n"
+
+        score, description, author, reference = DEFAULT_SCORE, "", "", ""
+        for meta in _META_RE.finditer(sections.get("meta", "")):
+            key, val = meta.group("key"), meta.group("val")
+            if key == "score" and val.isdigit():
+                parsed = int(val)
+                if _valid_score(parsed):
+                    score = parsed
+            elif key == "description" and val.startswith('"'):
+                description = _unquote(val)
+            elif key == "author" and val.startswith('"'):
+                author = _unquote(val)
+            elif key == "reference" and val.startswith('"'):
+                reference = _unquote(val)
+
+        strings: list[YaraString] = []
+        for sm in _STRING_RE.finditer(sections.get("strings", "")):
+            raw = sm.group("val")
+            mods = sm.group("mods")
+            if raw.startswith('"'):
+                strings.append(
+                    YaraString(sm.group("id"), _unquote(raw), False, "nocase" in mods)
+                )
+            else:
+                strings.append(
+                    YaraString(sm.group("id"), raw[1:-1], True, "nocase" in mods)
+                )
+
+        cond_match = _COND_RE.search(sections.get("condition", ""))
+        condition = cond_match.group("n") if cond_match else "any"
+        if not strings:
+            continue
+        rules.append(
+            YaraRule(
+                name=m.group("name"),
+                score=score,
+                description=description,
+                author=author,
+                reference=reference,
+                strings=tuple(strings),
+                condition=condition,
+            )
+        )
+    return rules
+
+
+def load_signature_set(base_dir: str | Path) -> SignatureSet:
+    """Load the signature directory layout the reference uses:
+    ``{base}/iocs/hash-iocs.txt``, ``{base}/iocs/filename-iocs.txt``,
+    every ``{base}/iocs/*c2*`` file, every ``{base}/iocs/*hash*falsepositive*``
+    (either order) file, and all ``{base}/yara/*.yar`` concatenated
+    (src/main.rs:780-872 concatenates before a single compile)."""
+    base = Path(base_dir)
+    iocs_dir = base / "iocs"
+
+    def read(p: Path) -> str:
+        return p.read_text() if p.exists() else ""
+
+    hash_iocs = parse_hash_iocs(read(iocs_dir / "hash-iocs.txt"))
+    filename_iocs = parse_filename_iocs(read(iocs_dir / "filename-iocs.txt"))
+
+    fp_hashes: list[HashIOC] = []
+    c2_iocs: list[C2IOC] = []
+    if iocs_dir.exists():
+        for path in sorted(iocs_dir.iterdir()):
+            name = path.name.lower()
+            if "hash" in name and "falsepositive" in name:
+                fp_hashes.extend(parse_hash_iocs(path.read_text()))
+            if "c2" in name:
+                c2_iocs.extend(parse_c2_iocs(path.read_text()))
+
+    yara_dir = base / "yara"
+    yara_text = ""
+    if yara_dir.exists():
+        for path in sorted(yara_dir.glob("*.yar")):
+            yara_text += path.read_text() + "\n"
+    yara_rules = parse_yara_rules(yara_text)
+
+    return SignatureSet(
+        hash_iocs=tuple(hash_iocs),
+        fp_hashes=tuple(sorted(fp_hashes, key=lambda h: h.hash_value)),
+        filename_iocs=tuple(filename_iocs),
+        c2_iocs=tuple(c2_iocs),
+        yara_rules=tuple(yara_rules),
+    )

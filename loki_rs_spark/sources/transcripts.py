@@ -1,0 +1,171 @@
+"""Deterministic multi-turn transcript table.
+
+BASELINE.json's input_hint demands an input table of shape
+``(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp)``. The sandbox testdata has no such table, so we derive one
+*deterministically* from ``documents.parquet`` (driver-generated, seed=42):
+
+* every document row is replicated ``rep`` times -> ``uid = doc_id*rep + r``
+  (a dense 0..N*rep-1 key);
+* ``conv_id = 'conv-' || floor(sqrt(uid))`` — conversation k owns the uid
+  range [k^2, (k+1)^2), i.e. conversation LENGTH GROWS LINEARLY with k.
+  This is an intentional, reproducible conversation-length skew so the
+  salted-repartition path (north_rule) has real skew to defeat;
+* ``turn_idx = uid - floor(sqrt(uid))^2`` (0-based position in the conv);
+* signature triggers are planted by fixed residue classes of ``uid`` (the
+  CASE tables below), so expected match counts are pure arithmetic.
+
+The SAME spec is rendered two independent ways: `load_transcripts` builds the
+Spark DataFrame, `transcripts_duckdb_cte` renders a DuckDB CTE for the
+correctness oracle. Both are pure column expressions — no UDF, no shuffle.
+
+Turn-vs-file role mapping (SURVEY.md top): ``text`` is the scanned content
+(the reference's mmap'd file bytes), ``tool`` plays the filename/path role,
+``(conv_id, turn_idx)`` replaces the file path as the stable row key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_REP = 20
+
+ALPHA_PAYLOAD = "EICAR-TEST-PAYLOAD-ALPHA"
+BETA_PAYLOAD = "EICAR-TEST-PAYLOAD-BETA"
+FP_PAYLOAD = "FP-KNOWN-GOOD-PAYLOAD"
+
+# (modulus, residue, action, payload); first matching row of the table wins
+# (CASE WHEN order). 'replace' swaps the whole text (so its hash is a known
+# constant for the hash-IOC path), 'append' adds a marker substring.
+TEXT_RULES: tuple[tuple[int, int, str, str], ...] = (
+    (101, 7, "replace", ALPHA_PAYLOAD),
+    (101, 53, "replace", BETA_PAYLOAD),
+    (103, 89, "replace", FP_PAYLOAD),
+    (89, 11, "append", " launched netcat -e /bin/sh session"),
+    (89, 37, "append", " staged meterpreter payload windows/x64"),
+    (127, 17, "append", " beacon to evil-c2.example.com now"),
+    (127, 59, "append", " callback 203.0.113.66 port 443"),
+    (127, 83, "append", " resolve sub.evil-c2.example.com fast"),
+    (127, 29, "append", " fetch from cdn.badcdn.net path /x"),
+    (127, 97, "append", " see docs at good.example.org today"),
+)
+
+# (modulus, residue, tool value); default tool is 'tool-' || uid % 7.
+TOOL_RULES: tuple[tuple[int, int, str], ...] = (
+    (97, 13, "c:/users/admin/mimikatz.exe"),
+    (97, 47, "/tmp/nc.exe"),
+    (97, 61, "/opt/tools/helper_config.exe"),
+    (97, 73, "/opt/tools/helper_tool.exe"),
+    (97, 29, "/var/agent_notice.bin"),
+    (97, 83, "/tmp/lowrisk.bin"),
+    (97, 89, "debug-tool-7"),
+)
+
+TS_EPOCH = "2026-01-01 00:00:00"
+TS_STEP_SECONDS = 7
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def load_transcripts(
+    spark: SparkSession, sf_dir: str, rep: int = DEFAULT_REP
+) -> DataFrame:
+    """Spark rendering of the transcript spec. Pure narrow ops — the plan is
+    a single parquet scan + project/explode, no shuffle, fully
+    whole-stage-codegen'd, so it costs ~nothing before the scan pipeline."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    turns = docs.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+    uid = (F.col("doc_id") * rep + F.col("r")).cast("long")
+    turns = turns.withColumn("uid", uid).withColumnRenamed("text", "base_text")
+
+    conv = F.floor(F.sqrt(F.col("uid").cast("double"))).cast("long")
+
+    text_expr = F.col("base_text")
+    for mod, res, action, payload in reversed(TEXT_RULES):
+        cond = F.col("uid") % mod == res
+        value = (
+            F.lit(payload)
+            if action == "replace"
+            else F.concat(F.col("base_text"), F.lit(payload))
+        )
+        text_expr = F.when(cond, value).otherwise(text_expr)
+
+    tool_expr = F.concat(F.lit("tool-"), (F.col("uid") % 7).cast("string"))
+    for mod, res, value in reversed(TOOL_RULES):
+        tool_expr = F.when(F.col("uid") % mod == res, F.lit(value)).otherwise(
+            tool_expr
+        )
+
+    role_expr = (
+        F.when(F.col("uid") % 4 == 0, F.lit("user"))
+        .when(F.col("uid") % 4 == 1, F.lit("assistant"))
+        .when(F.col("uid") % 4 == 2, F.lit("tool"))
+        .otherwise(F.lit("assistant"))
+    )
+
+    ts_expr = F.expr(
+        f"timestampadd(SECOND, uid * {TS_STEP_SECONDS}, "
+        f"timestamp'{TS_EPOCH}')"
+    )
+
+    return turns.select(
+        F.concat(F.lit("conv-"), conv.cast("string")).alias("conv_id"),
+        (F.col("uid") - conv * conv).cast("int").alias("turn_idx"),
+        role_expr.alias("role"),
+        text_expr.alias("text"),
+        tool_expr.alias("tool"),
+        ts_expr.alias("ts"),
+        F.col("uid"),
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def transcripts_duckdb_cte(sf_dir: str, rep: int = DEFAULT_REP) -> str:
+    """DuckDB CTE computing the identical transcript table (the oracle's
+    independent rendering). Emits a CTE named ``transcripts`` with columns
+    (conv_id, turn_idx, role, text, tool, ts, uid)."""
+    text_whens = []
+    for mod, res, action, payload in TEXT_RULES:
+        value = (
+            _sql_quote(payload)
+            if action == "replace"
+            else f"base_text || {_sql_quote(payload)}"
+        )
+        text_whens.append(f"WHEN uid % {mod} = {res} THEN {value}")
+    text_case = "CASE " + " ".join(text_whens) + " ELSE base_text END"
+
+    tool_whens = [
+        f"WHEN uid % {mod} = {res} THEN {_sql_quote(value)}"
+        for mod, res, value in TOOL_RULES
+    ]
+    tool_case = (
+        "CASE "
+        + " ".join(tool_whens)
+        + " ELSE 'tool-' || CAST(uid % 7 AS VARCHAR) END"
+    )
+
+    return f"""
+_turns AS (
+  SELECT d.doc_id * {rep} + r.range AS uid, d.text AS base_text
+  FROM documents d CROSS JOIN range({rep}) r
+),
+transcripts AS (
+  SELECT
+    'conv-' || CAST(CAST(floor(sqrt(uid)) AS BIGINT) AS VARCHAR) AS conv_id,
+    CAST(uid - CAST(floor(sqrt(uid)) AS BIGINT) * CAST(floor(sqrt(uid)) AS BIGINT) AS INTEGER) AS turn_idx,
+    CASE CAST(uid % 4 AS INTEGER)
+      WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' WHEN 2 THEN 'tool'
+      ELSE 'assistant' END AS role,
+    {text_case} AS text,
+    {tool_case} AS tool,
+    TIMESTAMP '{TS_EPOCH}' + INTERVAL (uid * {TS_STEP_SECONDS}) SECOND AS ts,
+    uid
+  FROM _turns
+)
+""".strip()

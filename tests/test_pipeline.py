@@ -1,0 +1,131 @@
+"""End-to-end routed-row equality: the Spark pipeline (both the Arrow-UDF
+matcher path and the pure-Catalyst path) against the row-at-a-time
+pure-Python reference scanner, over the derived transcript table.
+
+This mirrors the reference's own layered test strategy (SURVEY.md §5):
+plant trigger rows, scan, compare per-rule matches and routed rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from loki_rs_spark.config import ScanConfig
+from loki_rs_spark.plans.pipeline import scan_transcripts
+from loki_rs_spark.plans.reference_scanner import scan_turn
+from loki_rs_spark.sources.transcripts import load_transcripts
+
+from .conftest import SF_SMALL
+
+REP = 4
+CFG = ScanConfig()
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return load_transcripts(spark, SF_SMALL, rep=REP).cache()
+
+
+@pytest.fixture(scope="module")
+def expected_rows(spark, transcripts, sigs):
+    rows = {}
+    for r in transcripts.collect():
+        routed = scan_turn(
+            r["conv_id"], r["turn_idx"], r["text"], r["tool"], sigs, CFG
+        )
+        if routed is not None:
+            rows[(routed.conv_id, routed.turn_idx)] = routed
+    return rows
+
+
+def _collect_routed(result):
+    return {(r["conv_id"], r["turn_idx"]): r for r in result.routed.collect()}
+
+
+@pytest.mark.parametrize("use_udf", [True, False], ids=["udf", "catalyst"])
+def test_routed_row_equality(spark, transcripts, sigs, expected_rows, use_udf):
+    result = scan_transcripts(
+        spark, transcripts, sigs, CFG, use_udf_matcher=use_udf
+    )
+    actual = _collect_routed(result)
+
+    assert set(actual) == set(expected_rows)
+    assert len(actual) > 0
+
+    for key, exp in expected_rows.items():
+        act = actual[key]
+        assert act["level"] == exp.level, key
+        assert act["score"] == exp.score, key
+        assert act["md5"] == exp.md5 and act["sha256"] == exp.sha256, key
+        assert act["sha1"] == exp.sha1, key
+        assert act["n_reasons"] == exp.n_reasons, key
+        act_reasons = act["reasons"]
+        assert len(act_reasons) == len(exp.reasons), key
+        for ar, er in zip(act_reasons, exp.reasons):
+            assert ar["message"] == er.message, key
+            assert ar["score"] == er.score, key
+            assert ar["description"] == er.description, key
+            assert ar["author"] == er.author, key
+            assert ar["reference"] == er.reference, key
+            if use_udf:  # catalyst fallback doesn't capture offsets
+                assert ar["matched_strings"] == er.matched_strings, key
+
+
+def test_match_classes_present(expected_rows):
+    """The planted corpus must exercise every match class."""
+    messages = [
+        r.message for row in expected_rows.values() for r in row.reasons
+    ]
+    assert any(m.startswith("File Name IOC") for m in messages)
+    assert any(m.startswith("HASH match") for m in messages)
+    assert any(m.startswith("YARA match") for m in messages)
+    assert any(m.startswith("C2 IOC match") for m in messages)
+    levels = {r.level for r in expected_rows.values()}
+    assert levels == {"ALERT", "WARNING", "NOTICE"}
+
+
+def test_fp_hash_suppression(spark, transcripts, sigs):
+    """Rows whose text is the FP payload are dropped even though the EICAR
+    YARA rule would otherwise fire on other rows — and the FP rows still
+    count as scanned."""
+    from pyspark.sql import functions as F
+
+    result = scan_transcripts(spark, transcripts, sigs, CFG)
+    fp_rows = transcripts.filter(F.col("text") == "FP-KNOWN-GOOD-PAYLOAD")
+    n_fp = fp_rows.count()
+    assert n_fp > 0
+    routed_keys = {
+        (r["conv_id"], r["turn_idx"]) for r in result.routed.collect()
+    }
+    fp_keys = {(r["conv_id"], r["turn_idx"]) for r in fp_rows.collect()}
+    assert not (routed_keys & fp_keys)
+    assert result.scanned.count() > 0
+
+
+def test_exclusion_filter(spark, transcripts, sigs):
+    """debug-tool rows are excluded from scanning entirely (F3)."""
+    from pyspark.sql import functions as F
+
+    result = scan_transcripts(spark, transcripts, sigs, CFG)
+    assert (
+        result.scanned.filter(F.col("tool").rlike("debug-tool")).count() == 0
+    )
+    n_excluded = transcripts.filter(F.col("tool").rlike("debug-tool")).count()
+    assert n_excluded > 0
+    assert result.scanned.count() == transcripts.count() - n_excluded
+
+
+def test_below_threshold_dropped(spark, transcripts, sigs, expected_rows):
+    """lowrisk rows (score 20 < notice 40) match but are not routed."""
+    from pyspark.sql import functions as F
+
+    result = scan_transcripts(spark, transcripts, sigs, CFG)
+    low = result.evaluated.filter(
+        F.col("tool") == "/tmp/lowrisk.bin"
+    ).collect()
+    matched_low = [r for r in low if r["n_reasons"] > 0]
+    assert matched_low, "lowrisk IOC should match"
+    for r in matched_low:
+        if r["n_reasons"] == 1:  # only the lowrisk reason
+            assert r["level"] is None
+            assert (r["conv_id"], r["turn_idx"]) not in expected_rows
