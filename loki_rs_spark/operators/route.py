@@ -1,0 +1,62 @@
+"""Routing + aggregate operators (SURVEY.md §2.1 S5, §2.5 A4-A9).
+
+The reference serializes one JSONL stream and keeps live per-severity
+counters; the north rule asks for per-severity fan-out sinks with per-sink
+aggregate match counts. Spark-first rendering:
+
+* fan-out = ONE write partitioned by `level` (a single pass over the data,
+  three physical sink directories: level=ALERT/WARNING/NOTICE) instead of
+  three filtered jobs — at 100 TB you never want to rescan per severity;
+* counters  = an `agg` over the scanned/evaluated frames (the reference's
+  rayon `reduce` of 5-tuples, src/modules/filesystem_scan.rs:544-553);
+* exit code = driver-side check on the aggregate row (src/main.rs:1568-75).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def severity_counts(routed: DataFrame) -> DataFrame:
+    return routed.groupBy("level").agg(F.count("*").alias("n"))
+
+
+def scan_counters(scanned: DataFrame, evaluated: DataFrame) -> DataFrame:
+    """The reference's 5-tuple (scanned, matched, alerts, warnings,
+    notices). `matched` counts only routed rows — below-threshold matches
+    return zeroed counters in the reference (filesystem_scan.rs:948-951)."""
+    scanned_agg = scanned.agg(F.count("*").alias("scanned"))
+    eval_agg = evaluated.agg(
+        F.count(F.when(F.col("level").isNotNull(), 1)).alias("matched"),
+        F.count(F.when(F.col("level") == "ALERT", 1)).alias("alerts"),
+        F.count(F.when(F.col("level") == "WARNING", 1)).alias("warnings"),
+        F.count(F.when(F.col("level") == "NOTICE", 1)).alias("notices"),
+    )
+    return scanned_agg.crossJoin(eval_agg)
+
+
+def exit_code(counters: DataFrame) -> DataFrame:
+    """Exit 2 iff alerts+warnings > 0 else 0 (src/main.rs:1568-1575)."""
+    return counters.select(
+        F.when(F.col("alerts") + F.col("warnings") > 0, F.lit(2))
+        .otherwise(F.lit(0))
+        .alias("exit_code")
+    )
+
+
+def write_severity_sinks(
+    routed: DataFrame, out_dir: str, mode: str = "overwrite"
+) -> None:
+    """Per-severity fan-out in ONE pass: partitionBy('level') produces the
+    three sink directories. Rows are kept in stable (conv_id, turn_idx)
+    order within files via a range repartition — skew-safe because the
+    range partitioner SAMPLES the key distribution and splits oversized
+    conversations across partitions while preserving global order."""
+    (
+        routed.repartitionByRange("conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode(mode)
+        .partitionBy("level")
+        .parquet(f"{out_dir}/routed")
+    )

@@ -1,0 +1,397 @@
+"""DuckDB oracle-SQL generators.
+
+For every Spark query registered in __spark_entry__.py, this module renders
+an INDEPENDENT DuckDB implementation of the same semantics, generated from
+the same parsed SignatureSet + transcript spec (single source of truth for
+the *inputs*, separate rendering of the *computation*: list comprehensions
+and CASE chains instead of Catalyst expressions and the Arrow matcher).
+
+One asymmetry: DuckDB has no sha1() function, so sha1-hash-IOC predicates
+are rendered as text-equality against the known planted payloads (the only
+preimages of those digests in the deterministic dataset) — a semantically
+equal predicate, not a shared code path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from .config import DEFAULT_CONFIG, ScanConfig
+from .operators.ioc_join import HOST_PATTERN, IPV4_PATTERN
+from .signatures.model import SignatureSet
+from .sources.transcripts import (
+    DEFAULT_REP,
+    TEXT_RULES,
+    transcripts_duckdb_cte,
+)
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def known_payload_hashes() -> dict[str, dict[str, str]]:
+    out: dict[str, dict[str, str]] = {}
+    for _mod, _res, action, payload in TEXT_RULES:
+        if action == "replace":
+            raw = payload.encode("utf-8")
+            out[payload] = {
+                "md5": hashlib.md5(raw).hexdigest(),
+                "sha1": hashlib.sha1(raw).hexdigest(),
+                "sha256": hashlib.sha256(raw).hexdigest(),
+            }
+    return out
+
+
+def _sha1_predicate(hash_value: str) -> str | None:
+    for payload, hashes in known_payload_hashes().items():
+        if hashes["sha1"] == hash_value:
+            return f"text = {_q(payload)}"
+    return None
+
+
+def _hash_predicate(hash_type: str, hash_value: str) -> str | None:
+    if hash_type == "md5":
+        return f"md5(text) = {_q(hash_value)}"
+    if hash_type == "sha256":
+        return f"sha256(text) = {_q(hash_value)}"
+    return _sha1_predicate(hash_value)
+
+
+def _fname_condition(ioc) -> str:
+    cond = f"regexp_matches(tool, {_q(ioc.pattern)})"
+    if ioc.fp_pattern:
+        cond += f" AND NOT regexp_matches(tool, {_q(ioc.fp_pattern)})"
+    return cond
+
+
+def _yara_condition(rule) -> str:
+    conds = []
+    for s in rule.strings:
+        if s.is_regex:
+            pat = f"(?i){s.pattern}" if s.nocase else s.pattern
+            conds.append(f"regexp_matches(text, {_q(pat)})")
+        elif s.nocase:
+            conds.append(f"contains(lower(text), {_q(s.pattern.lower())})")
+        else:
+            conds.append(f"contains(text, {_q(s.pattern)})")
+    if rule.condition == "any":
+        return "(" + " OR ".join(conds) + ")"
+    if rule.condition == "all":
+        return "(" + " AND ".join(conds) + ")"
+    needed = int(rule.condition)
+    total = " + ".join(f"CAST({c} AS INTEGER)" for c in conds)
+    return f"(({total}) >= {needed})"
+
+
+def _base_reason_cases(sigs: SignatureSet) -> list[str]:
+    """Reason candidates in the reference's discovery order:
+    filename -> md5 -> sha1 -> sha256 -> YARA (rule definition order)."""
+    cases: list[str] = []
+    for ioc in sigs.filename_iocs:
+        msg = f"File Name IOC matched PATTERN: {ioc.pattern}"
+        cases.append(
+            f"CASE WHEN {_fname_condition(ioc)} THEN "
+            f"struct_pack(msg := {_q(msg)}, score := {ioc.score}) END"
+        )
+    for hash_type in ("md5", "sha1", "sha256"):
+        for ioc in sigs.hashes_of_type(hash_type):
+            pred = _hash_predicate(hash_type, ioc.hash_value)
+            if pred is None:
+                continue  # unmatchable in the deterministic dataset
+            msg = f"HASH match with IOC HASH: {ioc.hash_value}"
+            cases.append(
+                f"CASE WHEN {pred} THEN "
+                f"struct_pack(msg := {_q(msg)}, score := {ioc.score}) END"
+            )
+    for rule in sigs.yara_rules:
+        msg = f"YARA match with rule {rule.name}"
+        cases.append(
+            f"CASE WHEN {_yara_condition(rule)} THEN "
+            f"struct_pack(msg := {_q(msg)}, score := {rule.score}) END"
+        )
+    return cases
+
+
+def _c2_reason_list(sigs: SignatureSet) -> str:
+    if not sigs.c2_iocs:
+        return "[]"
+    is_ip = f"regexp_matches(h, {_q(IPV4_PATTERN)})"
+    whens = []
+    for ioc in sigs.c2_iocs:
+        cond = (
+            f"(({is_ip}) AND h = {_q(ioc.server)}) OR "
+            f"((NOT ({is_ip})) AND (ends_with(h, {_q(ioc.server)}) "
+            f"OR h = {_q(ioc.server)}))"
+        )
+        whens.append(
+            f"WHEN {cond} THEN struct_pack("
+            f"msg := 'C2 IOC match in turn text HOST: ' || h, "
+            f"score := {ioc.score})"
+        )
+    inner = "CASE " + " ".join(whens) + " ELSE NULL END"
+    hosts = f"regexp_extract_all(lower(text), {_q(HOST_PATTERN)}, 0)"
+    return (
+        f"list_filter(list_transform({hosts}, h -> {inner}), "
+        "x -> x IS NOT NULL)"
+    )
+
+
+def _scan_filters(sigs: SignatureSet, cfg: ScanConfig) -> tuple[str, str]:
+    """(cheap_filters, fp_filter) WHERE fragments."""
+    cheap = [f"length(text) <= {cfg.max_text_chars}"]
+    if cfg.exclude_patterns:
+        combined = "|".join(f"(?:{p})" for p in cfg.exclude_patterns)
+        cheap.append(f"NOT regexp_matches(tool, {_q(combined)})")
+    fp_conds = []
+    for hash_type in ("md5", "sha1", "sha256"):
+        for fp in sigs.hashes_of_type(hash_type, fp=True):
+            pred = _hash_predicate(hash_type, fp.hash_value)
+            if pred is not None:
+                fp_conds.append(f"NOT ({pred})")
+    return " AND ".join(cheap), (" AND ".join(fp_conds) or "TRUE")
+
+
+def scan_ctes(
+    sigs: SignatureSet,
+    cfg: ScanConfig = DEFAULT_CONFIG,
+    rep: int = DEFAULT_REP,
+) -> str:
+    """The shared WITH-chain: transcripts -> scanned -> evaluated (reasons,
+    score, level). ``evaluated`` keeps below-threshold rows (level NULL);
+    ``routed`` applies the final filter."""
+    base_cases = ",\n      ".join(_base_reason_cases(sigs))
+    cheap, fp = _scan_filters(sigs, cfg)
+    c2 = _c2_reason_list(sigs)
+    cte = transcripts_duckdb_cte("", rep=rep)
+    return f"""{cte},
+scanned AS (
+  SELECT * FROM transcripts WHERE {cheap}
+),
+with_reasons AS (
+  SELECT *,
+    list_slice(
+      list_concat(
+        list_filter([
+      {base_cases}
+        ], x -> x IS NOT NULL),
+        {c2}),
+      1, {cfg.max_matches}) AS reasons
+  FROM scanned
+  WHERE {fp}
+),
+evaluated AS (
+  SELECT *, CAST(len(reasons) AS INTEGER) AS n_reasons,
+    CAST(round(CASE WHEN len(pos_scores) = 0 THEN 0.0
+      ELSE 100.0 * (1.0 - list_aggregate(
+        list_transform(list_sort(pos_scores, 'DESC'),
+          (s, i) -> 1.0 - s / 100.0 / pow(2.0, CAST(i AS DOUBLE) - 1.0)),
+        'product')) END, 0) AS INTEGER) AS score
+  FROM (SELECT *, list_filter(list_transform(reasons, r -> r.score),
+                              s -> s > 0) AS pos_scores
+        FROM with_reasons)
+),
+leveled AS (
+  SELECT *, CASE WHEN score >= {cfg.alert_threshold} THEN 'ALERT'
+                 WHEN score >= {cfg.warning_threshold} THEN 'WARNING'
+                 WHEN score >= {cfg.notice_threshold} THEN 'NOTICE'
+            END AS level
+  FROM evaluated
+),
+routed AS (
+  SELECT * FROM leveled WHERE n_reasons > 0 AND level IS NOT NULL
+)""".strip()
+
+
+# ---------------------------------------------------------------- queries
+
+
+def transcripts_sql(rep: int = DEFAULT_REP) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    return (
+        f"WITH {cte} SELECT conv_id, turn_idx, role, text, tool, "
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, uid FROM transcripts"
+    )
+
+
+def scan_matches_sql(sigs: SignatureSet, cfg: ScanConfig, rep: int) -> str:
+    return f"""WITH {scan_ctes(sigs, cfg, rep)}
+SELECT conv_id, turn_idx, tool,
+  md5(text) AS md5, sha256(text) AS sha256,
+  score, level, n_reasons,
+  reasons[1].msg AS reason1_msg, reasons[1].score AS reason1_score,
+  reasons[2].msg AS reason2_msg, reasons[2].score AS reason2_score
+FROM routed"""
+
+
+def severity_counts_sql(sigs: SignatureSet, cfg: ScanConfig, rep: int) -> str:
+    return (
+        f"WITH {scan_ctes(sigs, cfg, rep)}\n"
+        "SELECT level, CAST(count(*) AS BIGINT) AS n FROM routed GROUP BY level"
+    )
+
+
+def scan_counters_sql(sigs: SignatureSet, cfg: ScanConfig, rep: int) -> str:
+    return f"""WITH {scan_ctes(sigs, cfg, rep)}
+SELECT s.scanned, r.matched, r.alerts, r.warnings, r.notices FROM
+  (SELECT CAST(count(*) AS BIGINT) AS scanned FROM scanned) s,
+  (SELECT CAST(count(*) AS BIGINT) AS matched,
+          CAST(count(CASE WHEN level = 'ALERT' THEN 1 END) AS BIGINT) AS alerts,
+          CAST(count(CASE WHEN level = 'WARNING' THEN 1 END) AS BIGINT) AS warnings,
+          CAST(count(CASE WHEN level = 'NOTICE' THEN 1 END) AS BIGINT) AS notices
+   FROM routed) r"""
+
+
+def rule_match_counts_sql(sigs: SignatureSet, cfg: ScanConfig, rep: int) -> str:
+    return f"""WITH {scan_ctes(sigs, cfg, rep)}
+SELECT message, CAST(count(*) AS BIGINT) AS n FROM
+  (SELECT unnest(reasons).msg AS message FROM routed)
+GROUP BY message"""
+
+
+def hash_ioc_hits_sql(sigs: SignatureSet, rep: int) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    selects = []
+    for hash_type in ("md5", "sha1", "sha256"):
+        for ioc in sigs.hashes_of_type(hash_type):
+            pred = _hash_predicate(hash_type, ioc.hash_value)
+            if pred is None:
+                continue
+            selects.append(
+                f"SELECT conv_id, turn_idx, {_q(hash_type)} AS hash_type, "
+                f"{_q(ioc.hash_value)} AS hash_value, {ioc.score} AS ioc_score "
+                f"FROM transcripts WHERE {pred}"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {cte}\n{union}"
+
+
+def filename_ioc_hits_sql(sigs: SignatureSet, rep: int) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    selects = [
+        f"SELECT conv_id, turn_idx, tool, {_q(ioc.pattern)} AS pattern, "
+        f"{ioc.score} AS score FROM transcripts WHERE {_fname_condition(ioc)}"
+        for ioc in sigs.filename_iocs
+    ]
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {cte}\n{union}"
+
+
+def c2_hits_sql(sigs: SignatureSet, rep: int) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    c2 = _c2_reason_list(sigs)
+    return f"""WITH {cte},
+hits AS (SELECT conv_id, turn_idx, unnest({c2}) AS r FROM transcripts)
+SELECT conv_id, turn_idx, r.msg AS message, r.score AS score FROM hits"""
+
+
+def per_conv_rollup_sql(sigs: SignatureSet, cfg: ScanConfig, rep: int) -> str:
+    return f"""WITH {scan_ctes(sigs, cfg, rep)}
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(CASE WHEN level IS NOT NULL THEN 1 END) AS BIGINT) AS n_routed,
+  CAST(count(CASE WHEN level = 'ALERT' THEN 1 END) AS BIGINT) AS n_alerts,
+  max(score) AS max_score
+FROM leveled GROUP BY conv_id"""
+
+
+def exit_code_sql(sigs: SignatureSet, cfg: ScanConfig, rep: int) -> str:
+    return f"""WITH {scan_ctes(sigs, cfg, rep)}
+SELECT CAST(CASE WHEN count(CASE WHEN level IN ('ALERT','WARNING') THEN 1 END) > 0
+  THEN 2 ELSE 0 END AS INTEGER) AS exit_code FROM routed"""
+
+
+# ------------------------------------------------- training-data pipeline
+
+
+def dedup_exact_sql(rep: int) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    return f"""WITH {cte}
+SELECT md5(text) AS content_md5, CAST(count(*) AS BIGINT) AS n_copies,
+  min(uid) AS keeper_uid
+FROM transcripts GROUP BY md5(text) HAVING count(*) > 1"""
+
+
+def token_stats_sql(rep: int) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    return f"""WITH {cte}
+SELECT uid, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars
+FROM transcripts"""
+
+
+_STOPWORDS = (" the ", " and ", " of ")
+
+
+def _stop_hits_sql() -> str:
+    terms = [
+        f"CAST((length(text) - length(replace(text, {_q(w)}, ''))) / {len(w)} AS INTEGER)"
+        for w in _STOPWORDS
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def text_quality_sql(rep: int) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    stop = _stop_hits_sql()
+    return f"""WITH {cte},
+t AS (SELECT uid, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         {stop} AS stop_hits FROM transcripts),
+r AS (SELECT *, CAST(floor(stop_hits * 10000 / n_tokens) AS INTEGER)
+         AS stop_ratio_bp FROM t)
+SELECT uid, n_tokens, stop_hits,
+  CAST(least(n_tokens, 100) * 70
+       + CAST(floor(least(stop_ratio_bp, 10000) * 3 / 10) AS INTEGER)
+    AS INTEGER) AS quality_bp
+FROM r"""
+
+
+def langid_sql(rep: int) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    stop = _stop_hits_sql()
+    return f"""WITH {cte},
+t AS (SELECT uid, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         {stop} AS stop_hits FROM transcripts)
+SELECT uid, CASE WHEN stop_hits * 1.0 / n_tokens > 0.02 THEN 'en'
+  ELSE 'other' END AS lang_pred FROM t"""
+
+
+def content_fingerprint_sql(rep: int) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    return f"""WITH {cte}
+SELECT uid, md5(array_to_string(list_sort(list_distinct(
+  string_split(text, ' '))), ' ')) AS fingerprint
+FROM transcripts"""
+
+
+def ngram_jaccard_pairs_sql(rep: int, threshold: float = 0.5) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    return f"""WITH {cte},
+toks AS (SELECT uid, string_split(text, ' ') AS t FROM transcripts),
+shingled AS (
+  SELECT uid, list_distinct(CASE WHEN len(t) >= 3 THEN
+    list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))
+    ELSE [] END) AS shingles
+  FROM toks),
+ex AS (SELECT uid, unnest(shingles) AS s FROM shingled),
+pairs AS (SELECT a.uid AS ua, b.uid AS ub, CAST(count(*) AS BIGINT) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.uid < b.uid
+          GROUP BY a.uid, b.uid),
+sizes AS (SELECT uid, CAST(len(shingles) AS BIGINT) AS n FROM shingled)
+SELECT ua AS uid_a, ub AS uid_b,
+  round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+FROM pairs JOIN sizes sa ON sa.uid = ua JOIN sizes sb ON sb.uid = ub
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {threshold}"""
+
+
+def ann_cosine_topk_sql(k: int = 10) -> str:
+    return f"""WITH e AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
+      AS dot,
+    list_aggregate(list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS nrm
+  FROM embeddings)
+SELECT vec_id, round(dot / (sqrt(nrm) * 8.0), 4) AS cos_sim
+FROM e ORDER BY dot / (sqrt(nrm) * 8.0) DESC, vec_id LIMIT {k}"""

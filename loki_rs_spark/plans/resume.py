@@ -1,0 +1,106 @@
+"""Checkpoint/resume with per-partition lineage + metrics (north_rule).
+
+The reference only has pause/skip/abort atomics (src/helpers/
+interrupt.rs:91-160); resumability here is NEW design, not ported:
+
+* the transcript table is bucketed by `part_id = pmod(xxhash64(conv_id),
+  n_buckets)` — conversation-aligned so a bucket is self-contained;
+* each completed bucket appends one lineage row (part_id, rows counts,
+  wall time) to `{out}/lineage`;
+* output is written with dynamic partition overwrite on part_id, so
+  re-running a bucket is idempotent;
+* resume = anti-select of completed buckets: ONE filtered job over the
+  pending buckets, not a per-bucket driver loop — at 10^12 turns the
+  pending filter prunes whole partitions at the scan.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, ScanConfig
+from ..signatures.model import SignatureSet
+from .pipeline import scan_transcripts
+
+DEFAULT_BUCKETS = 64
+
+
+def with_part_id(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets))
+    )
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    try:
+        rows = (
+            spark.read.parquet(f"{out_dir}/lineage")
+            .select("part_id")
+            .distinct()
+            .collect()
+        )
+        return {r["part_id"] for r in rows}
+    except Exception:
+        return set()
+
+
+def run_resumable_scan(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    sigs: SignatureSet,
+    out_dir: str,
+    cfg: ScanConfig = DEFAULT_CONFIG,
+    n_buckets: int = DEFAULT_BUCKETS,
+    only_buckets: set[int] | None = None,
+) -> set[int]:
+    """Scan all buckets not yet recorded in the lineage table (optionally
+    restricted to `only_buckets` — used to simulate an interrupted run).
+    Returns the set of buckets processed this invocation."""
+    bucketed = with_part_id(transcripts, n_buckets)
+    done = completed_buckets(spark, out_dir)
+    pending = set(range(n_buckets)) - done
+    if only_buckets is not None:
+        pending &= only_buckets
+    if not pending:
+        return set()
+
+    subset = bucketed.filter(F.col("part_id").isin([int(b) for b in pending]))
+    result = scan_transcripts(spark, subset, sigs, cfg)
+    routed = result.routed.drop("all_reasons")
+
+    started = time.time()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        routed.repartition(F.col("part_id"))
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .partitionBy("part_id")
+        .parquet(f"{out_dir}/routed")
+    )
+
+    # lineage + metrics: one row per completed bucket. Buckets with zero
+    # routed rows still get a lineage row (completed != produced output).
+    all_pending = spark.createDataFrame(
+        [(int(b),) for b in pending], "part_id bigint"
+    )
+    metrics = (
+        routed.groupBy("part_id")
+        .agg(
+            F.count("*").alias("n_routed"),
+            F.count(F.when(F.col("level") == "ALERT", 1)).alias("n_alerts"),
+            F.count(F.when(F.col("level") == "WARNING", 1)).alias("n_warnings"),
+            F.count(F.when(F.col("level") == "NOTICE", 1)).alias("n_notices"),
+        )
+        .join(all_pending, "part_id", "right")
+        .na.fill(0)
+        .withColumn("completed_at", F.lit(started).cast("double"))
+    )
+    metrics.write.mode("append").parquet(f"{out_dir}/lineage")
+    return pending
+
+
+def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/routed")

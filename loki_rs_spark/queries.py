@@ -1,0 +1,372 @@
+"""The Spark query registry — one callable per operator/query surfaced via
+__spark_entry__.py. Each callable takes (spark, sf_dir) and returns a
+DataFrame whose column names and types match its DuckDB oracle in
+oracle.py exactly (the driver hash-compares values after sorting columns
+by name).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG, ScanConfig
+from .operators.hashes import with_hashes
+from .operators.ioc_join import c2_reason_array
+from .operators.matcher import make_matcher_udf
+from .plans.pipeline import ScanResult, scan_transcripts
+from .plans.skew import per_conv_rollup_salted
+from .signatures import load_signature_set
+from .signatures.model import SignatureSet
+from .sources.transcripts import DEFAULT_REP, load_transcripts
+
+SIG_DIR_DEFAULT = "signatures"
+DEDUP_REP = 2  # near-dup queries use a 2x replication (pairs stay small)
+
+
+@lru_cache(maxsize=1)
+def bundled_signatures() -> SignatureSet:
+    from pathlib import Path
+
+    here = Path(__file__).resolve().parent.parent / SIG_DIR_DEFAULT
+    return load_signature_set(here)
+
+
+def _scan(spark: SparkSession, sf_dir: str, rep: int = DEFAULT_REP,
+          cfg: ScanConfig = DEFAULT_CONFIG) -> ScanResult:
+    transcripts = load_transcripts(spark, sf_dir, rep=rep)
+    return scan_transcripts(spark, transcripts, bundled_signatures(), cfg)
+
+
+# ------------------------------------------------------------ loki core
+
+
+def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "uid",
+    )
+
+
+def q_scan_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _scan(spark, sf_dir).routed
+    r1 = F.get(F.col("all_reasons"), 0)
+    r2 = F.get(F.col("all_reasons"), 1)
+    return routed.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "md5",
+        "sha256",
+        "score",
+        "level",
+        "n_reasons",
+        r1["message"].alias("reason1_msg"),
+        r1["score"].alias("reason1_score"),
+        r2["message"].alias("reason2_msg"),
+        r2["score"].alias("reason2_score"),
+    )
+
+
+def q_severity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _scan(spark, sf_dir).routed
+    return routed.groupBy("level").agg(F.count("*").alias("n"))
+
+
+def q_scan_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.route import scan_counters
+
+    result = _scan(spark, sf_dir)
+    return scan_counters(result.scanned, result.evaluated)
+
+
+def q_rule_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _scan(spark, sf_dir).routed
+    return (
+        routed.select(F.explode("all_reasons").alias("r"))
+        .select(F.col("r.message").alias("message"))
+        .groupBy("message")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_hash_ioc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 in isolation: broadcast equi-joins of the three hash projections
+    against the IOC dimension, melted to long form."""
+    sigs = bundled_signatures()
+    df = with_hashes(load_transcripts(spark, sf_dir, rep=DEFAULT_REP))
+    parts = []
+    for hash_type in ("md5", "sha1", "sha256"):
+        iocs = sigs.hashes_of_type(hash_type)
+        if not iocs:
+            continue
+        ioc_df = spark.createDataFrame(
+            [(h.hash_value, h.score) for h in iocs],
+            "hash_value string, ioc_score int",
+        )
+        parts.append(
+            df.join(
+                F.broadcast(ioc_df), df[hash_type] == ioc_df.hash_value
+            ).select(
+                "conv_id",
+                "turn_idx",
+                F.lit(hash_type).alias("hash_type"),
+                "hash_value",
+                "ioc_score",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_filename_ioc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 through the Arrow matcher UDF (the production path)."""
+    sigs = bundled_signatures()
+    df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    matcher = make_matcher_udf(spark, sigs)
+    return (
+        df.withColumn("_m", matcher(F.col("text"), F.col("tool")))
+        .select("conv_id", "turn_idx", "tool", F.explode("_m.fname").alias("m"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "tool",
+            F.col("m.pattern").alias("pattern"),
+            F.col("m.score").alias("score"),
+        )
+    )
+
+
+def q_c2_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = bundled_signatures()
+    df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    reasons = c2_reason_array(F.col("text"), list(sigs.c2_iocs))
+    return (
+        df.select("conv_id", "turn_idx", F.explode(reasons).alias("r"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("r.message").alias("message"),
+            F.col("r.score").alias("score"),
+        )
+    )
+
+
+def q_per_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SALTED rollup (explicit skew handling) — proven equal to
+    the direct rollup by the oracle."""
+    evaluated = _scan(spark, sf_dir).evaluated
+    return per_conv_rollup_salted(evaluated)
+
+
+def q_exit_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.route import exit_code, scan_counters
+
+    result = _scan(spark, sf_dir)
+    return exit_code(scan_counters(result.scanned, result.evaluated))
+
+
+# ------------------------------------------- training-data pipeline ops
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_transcripts(spark, sf_dir, rep=DEDUP_REP)
+    return (
+        df.withColumn("content_md5", F.md5(F.col("text").cast("binary")))
+        .groupBy("content_md5")
+        .agg(F.count("*").alias("n_copies"), F.min("uid").alias("keeper_uid"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    return df.select(
+        "uid",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+_STOPWORDS = (" the ", " and ", " of ")
+
+
+def _stop_hits() -> F.Column:
+    terms = [
+        ((F.length("text") - F.length(F.replace(F.col("text"), F.lit(w))))
+         / F.lit(len(w))).cast("int")
+        for w in _STOPWORDS
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("int")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score in integer basis points (length component 0..7000 +
+    stopword component 0..3000) — integer arithmetic with explicit floors
+    so Spark and the oracle agree bit-exactly."""
+    df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    t = df.select(
+        "uid",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        _stop_hits().alias("stop_hits"),
+    )
+    stop_ratio_bp = F.floor(
+        F.col("stop_hits") * 10000 / F.col("n_tokens")
+    ).cast("int")
+    quality_bp = (
+        F.least(F.col("n_tokens"), F.lit(100)) * 70
+        + F.floor(F.least(stop_ratio_bp, F.lit(10000)) * 3 / 10).cast("int")
+    ).cast("int")
+    return t.select(
+        "uid", "n_tokens", "stop_hits", quality_bp.alias("quality_bp")
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    t = df.select(
+        "uid",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        _stop_hits().alias("stop_hits"),
+    )
+    return t.select(
+        "uid",
+        F.when(
+            F.col("stop_hits") * 1.0 / F.col("n_tokens") > 0.02, F.lit("en")
+        )
+        .otherwise(F.lit("other"))
+        .alias("lang_pred"),
+    )
+
+
+def q_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    canon = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+    )
+    return df.select(
+        "uid", F.md5(canon.cast("binary")).alias("fingerprint")
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-3-gram Jaccard near-dup pairs via a shingle self-join —
+    the classic shuffle-heavy near-dup operator. The shingle explode keys
+    the join so identical/near-identical texts co-locate; AQE handles any
+    hot shingle."""
+    df = load_transcripts(spark, sf_dir, rep=DEDUP_REP)
+    toks = df.select("uid", F.split("text", " ").alias("t"))
+    shingles = toks.select(
+        "uid",
+        F.array_distinct(
+            F.when(
+                F.size("t") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, F.lit(3))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingles"),
+    )
+    sizes = shingles.select(
+        "uid", F.size("shingles").cast("long").alias("n")
+    )
+    ex = shingles.select("uid", F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.uid") < F.col("b.uid")))
+        .groupBy(F.col("a.uid").alias("ua"), F.col("b.uid").alias("ub"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    return (
+        pairs.join(sa, F.col("ua") == F.col("sa.uid"))
+        .join(sb, F.col("ub") == F.col("sb.uid"))
+        .filter(jac >= 0.5)
+        .select(
+            F.col("ua").alias("uid_a"),
+            F.col("ub").alias("uid_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the all-ones probe vector (the
+    exact baseline an LSH/IVF variant must agree with on the head)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+    cos = F.col("dot") / (F.sqrt(F.col("nrm")) * 8.0)
+    return (
+        emb.select("vec_id", dot.alias("dot"), nrm.alias("nrm"))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+QUERIES = {
+    "transcripts": q_transcripts,
+    "scan_matches": q_scan_matches,
+    "severity_counts": q_severity_counts,
+    "scan_counters": q_scan_counters,
+    "rule_match_counts": q_rule_match_counts,
+    "hash_ioc_hits": q_hash_ioc_hits,
+    "filename_ioc_hits": q_filename_ioc_hits,
+    "c2_hits": q_c2_hits,
+    "per_conv_rollup": q_per_conv_rollup,
+    "exit_code": q_exit_code,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "langid": q_langid,
+    "content_fingerprint": q_content_fingerprint,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+}
+
+
+def oracle_queries() -> dict[str, str]:
+    from . import oracle as o
+    from .config import DEFAULT_CONFIG as cfg
+
+    sigs = bundled_signatures()
+    rep = DEFAULT_REP
+    return {
+        "transcripts": o.transcripts_sql(rep),
+        "scan_matches": o.scan_matches_sql(sigs, cfg, rep),
+        "severity_counts": o.severity_counts_sql(sigs, cfg, rep),
+        "scan_counters": o.scan_counters_sql(sigs, cfg, rep),
+        "rule_match_counts": o.rule_match_counts_sql(sigs, cfg, rep),
+        "hash_ioc_hits": o.hash_ioc_hits_sql(sigs, rep),
+        "filename_ioc_hits": o.filename_ioc_hits_sql(sigs, rep),
+        "c2_hits": o.c2_hits_sql(sigs, rep),
+        "per_conv_rollup": o.per_conv_rollup_sql(sigs, cfg, rep),
+        "exit_code": o.exit_code_sql(sigs, cfg, rep),
+        "dedup_exact": o.dedup_exact_sql(DEDUP_REP),
+        "token_stats": o.token_stats_sql(rep),
+        "text_quality": o.text_quality_sql(rep),
+        "langid": o.langid_sql(rep),
+        "content_fingerprint": o.content_fingerprint_sql(rep),
+        "ngram_jaccard_pairs": o.ngram_jaccard_pairs_sql(DEDUP_REP),
+        "ann_cosine_topk": o.ann_cosine_topk_sql(10),
+    }

@@ -1,0 +1,56 @@
+"""JSONL sink/source (SURVEY.md §2.1 S5/S9).
+
+The reference's canonical sink is one JSON object per line with sparse
+fields (serde skip_serializing_if, src/helpers/unified_logger.rs:87-143);
+its loki-util re-reader skips malformed lines (src/helpers/
+html_report.rs:86-129). Spark-first: `df.write.json` (struct fields with
+NULLs dropped via to_json ignoreNullFields) and `spark.read.json` in
+PERMISSIVE mode with a corrupt-record column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def routed_to_jsonl_df(routed: DataFrame, hostname: str = "spark") -> DataFrame:
+    """Shape routed rows as LogEvent JSON lines (event_type
+    turn_match, the transcript analog of file_match)."""
+    event = F.struct(
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX").alias("timestamp"),
+        F.col("level").alias("level"),
+        F.lit("turn_match").alias("event_type"),
+        F.lit(hostname).alias("hostname"),
+        F.lit("Turn Match").alias("message"),
+        F.col("tool").alias("file_path"),
+        F.col("score").cast("double").alias("score"),
+        F.col("text_len").cast("long").alias("file_size"),
+        F.col("md5"),
+        F.col("sha1"),
+        F.col("sha256"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("reasons"),
+    )
+    return routed.select(
+        F.to_json(event, {"ignoreNullFields": "true"}).alias("value")
+    )
+
+
+def write_jsonl(routed: DataFrame, path: str, hostname: str = "spark") -> None:
+    routed_to_jsonl_df(routed, hostname).write.mode("overwrite").text(path)
+
+
+def read_jsonl_events(spark: SparkSession, path: str) -> DataFrame:
+    """PERMISSIVE re-read: malformed lines land in _corrupt_record and are
+    dropped, mirroring the reference's skip-malformed tolerance."""
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    if "_corrupt_record" in df.columns:
+        df = df.cache()  # required before filtering on the corrupt column
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return df
