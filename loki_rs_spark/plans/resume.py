@@ -69,7 +69,9 @@ def run_resumable_scan(
 
     subset = bucketed.filter(F.col("part_id").isin([int(b) for b in pending]))
     result = scan_transcripts(spark, subset, sigs, cfg)
-    routed = result.routed.drop("all_reasons")
+    # part_id is a pure function of conv_id — recompute it on the routed
+    # frame (the pipeline projects a fixed output schema)
+    routed = with_part_id(result.routed.drop("all_reasons"), n_buckets)
 
     started = time.time()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
