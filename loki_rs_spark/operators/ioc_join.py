@@ -96,13 +96,14 @@ def anti_join_fp_hashes(
 
 def hash_reason_array(
     spark: SparkSession, df: DataFrame, sigs: SignatureSet
-) -> tuple[DataFrame, Column]:
+) -> tuple[DataFrame, Column, Column]:
     """J1: broadcast left joins per hash type; at most one IOC fires per
     type and all three can fire (src/modules/filesystem_scan.rs:862-896).
     Message format "HASH match with IOC HASH: {hash}" (ibid.).
-    Returns the joined df and the array<reason> column in md5,sha1,sha256
-    discovery order."""
+    Returns (joined df, array<reason> column in md5,sha1,sha256 discovery
+    order, cheap any-hit predicate)."""
     reason_cols: list[Column] = []
+    hit_conds: list[Column] = []
     for hash_type in HASH_TYPES:
         iocs = sigs.hashes_of_type(hash_type)
         if not iocs:
@@ -118,6 +119,7 @@ def hash_reason_array(
             "left",
         )
         hit = F.col(f"ioc_{hash_type}_hash")
+        hit_conds.append(hit.isNotNull())
         reason_cols.append(
             F.when(
                 hit.isNotNull(),
@@ -129,9 +131,12 @@ def hash_reason_array(
             )
         )
     if not reason_cols:
-        return df, F.array().cast(f"array<{REASON_TYPE}>")
+        return df, F.array().cast(f"array<{REASON_TYPE}>"), F.lit(False)
     arr = F.filter(F.array(*reason_cols), lambda x: x.isNotNull())
-    return df, arr
+    any_hit = hit_conds[0]
+    for cond in hit_conds[1:]:
+        any_hit = any_hit | cond
+    return df, arr, any_hit
 
 
 def filename_reason_array(tool: Column, iocs: list[FilenameIOC]) -> Column:
@@ -184,7 +189,12 @@ def c2_reason_array(text: Column, iocs: list[C2IOC]) -> Column:
     carry no port."""
     if not iocs:
         return F.array().cast(f"array<{REASON_TYPE}>")
-    hosts = F.regexp_extract_all(F.lower(text), F.lit(HOST_PATTERN), 0)
+    # Cheap gate: a host token requires a '.', so dot-free turns (the vast
+    # majority) skip the expensive alternation regex entirely.
+    hosts = F.when(
+        F.contains(text, F.lit(".")),
+        F.regexp_extract_all(F.lower(text), F.lit(HOST_PATTERN), 0),
+    ).otherwise(F.array().cast("array<string>"))
 
     def first_match(host: Column) -> Column:
         is_ip = host.rlike(IPV4_PATTERN)

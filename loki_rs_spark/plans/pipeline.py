@@ -65,13 +65,44 @@ def _nz(arr: Column) -> Column:
     return F.coalesce(arr, F.array().cast(f"array<{REASON_TYPE}>"))
 
 
+def _fname_reasons_from(col: Column) -> Column:
+    return F.transform(
+        col,
+        lambda m: reason_struct(
+            F.concat(F.lit("File Name IOC matched PATTERN: "), m["pattern"]),
+            m["score"],
+            m["description"],
+        ),
+    )
+
+
+def _yara_reasons_from(col: Column) -> Column:
+    return F.transform(
+        col,
+        lambda m: reason_struct(
+            F.concat(F.lit("YARA match with rule "), m["rule"]),
+            m["score"],
+            F.nullif(m["description"], F.lit("")),
+            F.nullif(m["author"], F.lit("")),
+            F.nullif(m["reference"], F.lit("")),
+            F.when(F.size(m["matched_strings"]) > 0, m["matched_strings"]),
+        ),
+    )
+
+
 def scan_transcripts(
     spark: SparkSession,
     transcripts: DataFrame,
     sigs: SignatureSet,
     cfg: ScanConfig = DEFAULT_CONFIG,
-    use_udf_matcher: bool = True,
+    matcher: str = "arrow",
 ) -> ScanResult:
+    """`matcher` picks the P5/J3 implementation: 'arrow' (mapInArrow +
+    pyarrow compute kernels — the scale path), 'pandas' (Arrow-batched
+    pandas UDF), or 'catalyst' (static per-rule predicates, no
+    matched-string capture). All three are routed-row-equal (tests)."""
+    if matcher not in ("arrow", "pandas", "catalyst"):
+        raise ValueError(f"unknown matcher impl: {matcher}")
     df = apply_exclusions(transcripts, cfg.exclude_patterns)
     df = apply_size_filter(df, cfg.max_text_chars)
     scanned = df
@@ -79,30 +110,27 @@ def scan_transcripts(
     df = with_hashes(df)
     df = anti_join_fp_hashes(spark, df, sigs)
 
-    if use_udf_matcher:
-        matcher = make_matcher_udf(spark, sigs)
-        df = df.withColumn("_m", matcher(F.col("text"), F.col("tool")))
-        fname_reasons = F.transform(
-            F.col("_m.fname"),
-            lambda m: reason_struct(
-                F.concat(
-                    F.lit("File Name IOC matched PATTERN: "), m["pattern"]
-                ),
-                m["score"],
-                m["description"],
-            ),
+    if matcher in ("arrow", "pandas"):
+        from ..operators.arrow_matcher import (
+            make_arrow_matcher_udf,
+            match_gate_exprs,
         )
-        yara_reasons = F.transform(
-            F.col("_m.yara"),
-            lambda m: reason_struct(
-                F.concat(F.lit("YARA match with rule "), m["rule"]),
-                m["score"],
-                F.nullif(m["description"], F.lit("")),
-                F.nullif(m["author"], F.lit("")),
-                F.nullif(m["reference"], F.lit("")),
-                F.when(F.size(m["matched_strings"]) > 0, m["matched_strings"]),
-            ),
-        )
+
+        # JVM-side candidate gate: blank non-candidate strings so the
+        # Python bridge only carries rows that can possibly match (see
+        # match_gate_exprs docstring). Blank strings match nothing in the
+        # supported signature subset (no empty-matching patterns).
+        text_gate, tool_gate = match_gate_exprs(sigs)
+        gated_text = F.when(text_gate, F.col("text")).otherwise(F.lit(""))
+        gated_tool = F.when(tool_gate, F.col("tool")).otherwise(F.lit(""))
+        if matcher == "arrow":
+            audf = make_arrow_matcher_udf(spark, sigs)
+            df = df.withColumn("_m", audf(gated_text, gated_tool))
+        else:
+            matcher_udf = make_matcher_udf(spark, sigs)
+            df = df.withColumn("_m", matcher_udf(gated_text, gated_tool))
+        fname_reasons = _fname_reasons_from(F.col("_m.fname"))
+        yara_reasons = _yara_reasons_from(F.col("_m.yara"))
     else:
         fname_reasons = filename_reason_array(
             F.col("tool"), list(sigs.filename_iocs)
@@ -149,15 +177,35 @@ def scan_transcripts(
             else F.array().cast(f"array<{REASON_TYPE}>")
         )
 
-    df, hash_reasons = hash_reason_array(spark, df, sigs)
+    df, hash_reasons, hash_hit = hash_reason_array(spark, df, sigs)
     c2_reasons = c2_reason_array(F.col("text"), list(sigs.c2_iocs))
 
-    all_reasons = F.slice(
+    # Sparse fast path: the overwhelming majority of turns match nothing,
+    # so gate the (allocation-heavy) reason assembly behind a cheap
+    # any-candidate predicate — codegen'd CASE WHEN evaluates the taken
+    # branch only, so clean rows cost a few comparisons instead of
+    # struct/array construction.
+    assembled = F.slice(
         F.concat(
             _nz(fname_reasons), _nz(hash_reasons), _nz(yara_reasons), _nz(c2_reasons)
         ),
         1,
         cfg.max_matches,
+    )
+    # any-candidate predicate: matcher output non-empty, any hash-IOC join
+    # hit, or a host-bearing text ('.' is necessary for any C2 token).
+    # Conservative — false positives just take the slow branch.
+    candidate = hash_hit | F.contains(F.col("text"), F.lit("."))
+    if matcher in ("arrow", "pandas"):
+        candidate = (
+            (F.size(F.col("_m.fname")) > 0)
+            | (F.size(F.col("_m.yara")) > 0)
+            | candidate
+        )
+    else:
+        candidate = F.lit(True)  # catalyst path: no cheap precursors
+    all_reasons = F.when(candidate, assembled).otherwise(
+        F.array().cast(f"array<{REASON_TYPE}>")
     )
 
     sub_scores = F.transform(all_reasons, lambda r: r["score"])
@@ -165,24 +213,35 @@ def scan_transcripts(
     score = rounded_score_col(raw_score)
     level = severity_col(score, cfg)
 
-    evaluated = df.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "tool",
-        "ts",
-        F.length("text").alias("text_len"),
-        "md5",
-        "sha1",
-        "sha256",
-        all_reasons.alias("all_reasons"),
-        F.size(all_reasons).alias("n_reasons"),
-        score.alias("score"),
-        level.alias("level"),
-    )
+    def project(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "tool",
+            "ts",
+            F.length("text").alias("text_len"),
+            "md5",
+            "sha1",
+            "sha256",
+            all_reasons.alias("all_reasons"),
+            F.size(all_reasons).alias("n_reasons"),
+            score.alias("score"),
+            level.alias("level"),
+        )
 
+    evaluated = project(df)
+
+    # Routed rows take a lean branch: filter on the cheap candidate
+    # predicate FIRST (prunes the ~85-95% of turns that can't match), so
+    # the reason-assembly / score-fold expressions only ever see candidate
+    # rows. The `evaluated` frame keeps all rows (rollups need them).
+    if isinstance(candidate, Column) and matcher in ("arrow", "pandas"):
+        routed_base = project(df.filter(candidate))
+    else:
+        routed_base = evaluated
     routed = (
-        evaluated.filter(F.col("n_reasons") > 0)
+        routed_base.filter(F.col("n_reasons") > 0)
         .filter(F.col("level").isNotNull())
         .withColumn(
             "reasons", F.slice(F.col("all_reasons"), 1, cfg.max_reasons)

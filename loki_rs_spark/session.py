@@ -28,6 +28,6 @@ def get_spark(
             str(shuffle_partitions or int(cpus) if cpus.isdigit() else 32),
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     return builder.getOrCreate()

@@ -71,12 +71,22 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_transcripts(
-    spark: SparkSession, sf_dir: str, rep: int = DEFAULT_REP
+    spark: SparkSession,
+    sf_dir: str,
+    rep: int = DEFAULT_REP,
+    target_partitions: int | None = None,
 ) -> DataFrame:
-    """Spark rendering of the transcript spec. Pure narrow ops — the plan is
-    a single parquet scan + project/explode, no shuffle, fully
-    whole-stage-codegen'd, so it costs ~nothing before the scan pipeline."""
+    """Spark rendering of the transcript spec.
+
+    The sandbox's documents.parquet is a single small file — one input
+    split — so we repartition the *documents* frame (cheap: pre-explode)
+    to fan the derived turns across all cores. On a real 10^12-turn
+    Iceberg table this step disappears: the table scan itself yields
+    thousands of splits and everything downstream is narrow."""
+    if target_partitions is None:
+        target_partitions = spark.sparkContext.defaultParallelism * 2
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(target_partitions)
     turns = docs.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
     uid = (F.col("doc_id") * rep + F.col("r")).cast("long")
     turns = turns.withColumn("uid", uid).withColumnRenamed("text", "base_text")

@@ -42,11 +42,9 @@ def _collect_routed(result):
     return {(r["conv_id"], r["turn_idx"]): r for r in result.routed.collect()}
 
 
-@pytest.mark.parametrize("use_udf", [True, False], ids=["udf", "catalyst"])
-def test_routed_row_equality(spark, transcripts, sigs, expected_rows, use_udf):
-    result = scan_transcripts(
-        spark, transcripts, sigs, CFG, use_udf_matcher=use_udf
-    )
+@pytest.mark.parametrize("impl", ["arrow", "pandas", "catalyst"])
+def test_routed_row_equality(spark, transcripts, sigs, expected_rows, impl):
+    result = scan_transcripts(spark, transcripts, sigs, CFG, matcher=impl)
     actual = _collect_routed(result)
 
     assert set(actual) == set(expected_rows)
@@ -67,7 +65,7 @@ def test_routed_row_equality(spark, transcripts, sigs, expected_rows, use_udf):
             assert ar["description"] == er.description, key
             assert ar["author"] == er.author, key
             assert ar["reference"] == er.reference, key
-            if use_udf:  # catalyst fallback doesn't capture offsets
+            if impl != "catalyst":  # catalyst path doesn't capture offsets
                 assert ar["matched_strings"] == er.matched_strings, key
 
 
