@@ -1,0 +1,89 @@
+"""Multimodal column plumbing (training-data pipeline surface).
+
+Images/audio/video are carried as opaque `binary` columns with typed
+metadata, processed via `mapInPandas` so each Arrow batch of blobs is
+decoded/featurized in one vectorized call. The decode kernels themselves
+are STUBBED in this container (no image/audio libs): `decode_image_stub`
+raises NotImplementedError unless `deterministic_fake=True`, which derives
+a fake fixed-shape feature vector from the blob bytes — the Spark-side
+plumbing (schema, batch iteration, partitioning, output shape) is real and
+tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, width int, height int, content binary"
+)
+FEATURE_SCHEMA = (
+    "media_id bigint, kind string, n_bytes int, feature array<float>"
+)
+
+FEATURE_DIM = 8
+
+
+def decode_image_stub(blob: bytes, deterministic_fake: bool = False) -> np.ndarray:
+    """Placeholder for a real image decode (PIL/libvips not installed).
+    With deterministic_fake, derives an 8-dim unit-norm feature from the
+    sha256 of the bytes — stable across runs and executors."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires an image library not present in this "
+            "container; pass deterministic_fake=True for the test path"
+        )
+    digest = hashlib.sha256(blob).digest()
+    vec = np.frombuffer(digest[: FEATURE_DIM * 4], dtype=np.uint32).astype(
+        np.float64
+    )
+    norm = np.linalg.norm(vec)
+    return (vec / norm if norm else vec).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame, deterministic_fake: bool = True
+) -> DataFrame:
+    """mapInPandas featurization: one pandas batch of blobs per call, one
+    fixed-dim feature vector per blob. Partitioning passes through — at
+    scale, repartition upstream so blob batches fit executor memory
+    (binary columns dominate `spark.sql.files.maxPartitionBytes` math)."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_image_stub(b, deterministic_fake=deterministic_fake)
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].str.len().astype("int32"),
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return media.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def synthetic_media(spark, sf_dir: str, limit: int = 64) -> DataFrame:
+    """Deterministic fake media table: blob = utf-8 bytes of document text
+    (an opaque byte payload as far as the pipeline is concerned)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(limit)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.col("text").cast("binary").alias("content"),
+    )

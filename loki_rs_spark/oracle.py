@@ -385,6 +385,82 @@ FROM pairs JOIN sizes sa ON sa.uid = ua JOIN sizes sb ON sb.uid = ub
 WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {threshold}"""
 
 
+MINHASH_PERMS = 12
+MINHASH_BAND = 3
+
+
+def minhash_lsh_pairs_sql(rep: int, threshold: float = 0.7) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    mh_exprs = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5(s || ';{i}')),"
+        f" 'min') AS mh{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT uid, shingles, {b} AS band_idx, "
+        f"md5({' || '.join(f'mh{b * MINHASH_BAND + j}' for j in range(MINHASH_BAND))})"
+        f" AS band_hash FROM sig"
+        for b in range(MINHASH_PERMS // MINHASH_BAND)
+    )
+    return f"""WITH {cte},
+toks AS (SELECT uid, string_split(text, ' ') AS t FROM transcripts),
+shingled AS (
+  SELECT uid, list_distinct(CASE WHEN len(t) >= 3 THEN
+    list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))
+    ELSE [] END) AS shingles
+  FROM toks),
+nonempty AS (SELECT * FROM shingled WHERE len(shingles) > 0),
+sig AS (SELECT uid, shingles, {mh_exprs} FROM nonempty),
+bands AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.uid AS uid_a, b.uid AS uid_b,
+         a.shingles AS sh_a, b.shingles AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.uid < b.uid),
+verified AS (
+  SELECT uid_a, uid_b,
+    len(list_filter(sh_a, x -> list_contains(sh_b, x))) * 1.0
+      / (len(sh_a) + len(sh_b)
+         - len(list_filter(sh_a, x -> list_contains(sh_b, x)))) AS jac
+  FROM pairs)
+SELECT uid_a, uid_b, round(jac, 4) AS jaccard
+FROM verified WHERE jac >= {threshold}"""
+
+
+def events_parsed_sql() -> str:
+    return """SELECT event_id, user_id, event_type,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+  round(value, 2) AS value_r
+FROM events"""
+
+
+def events_hourly_sql() -> str:
+    return """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+    AS hour,
+  event_type, CAST(count(*) AS BIGINT) AS n,
+  round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def events_sessions_sql(gap_sec: int = 1800) -> str:
+    return f"""WITH flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      OR date_diff('second', lag(ts) OVER w, ts) > {gap_sec}
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT *, sum(new_session) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id
+     ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+FROM sessions GROUP BY user_id, session_idx"""
+
+
 def ann_cosine_topk_sql(k: int = 10) -> str:
     return f"""WITH e AS (
   SELECT vec_id,

@@ -307,6 +307,147 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingled(spark: SparkSession, sf_dir: str):
+    df = load_transcripts(spark, sf_dir, rep=DEDUP_REP)
+    toks = df.select("uid", F.split("text", " ").alias("t"))
+    return toks.select(
+        "uid",
+        F.array_distinct(
+            F.when(
+                F.size("t") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, F.lit(3))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingles"),
+    )
+
+
+MINHASH_PERMS = 12
+MINHASH_BAND = 3  # 4 bands of 3
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates with exact-Jaccard
+    verification — the classic scale path for near-dedup: signatures are
+    O(k) per doc, the band join only shuffles (band_idx, band_hash) keys,
+    and the expensive exact verify runs on candidates only."""
+    shingled = _shingled(spark, sf_dir).filter(F.size("shingles") > 0)
+    def _perm(i: int):
+        suffix = F.lit(f";{i}")
+        # single-arg lambda: F.transform treats 2-arg callables as
+        # (element, index), which would silently change the hash input
+        return lambda s: F.md5(F.concat(s, suffix).cast("binary"))
+
+    mh_cols = [
+        F.array_min(F.transform(F.col("shingles"), _perm(i))).alias(f"mh{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    sig = shingled.select("uid", "shingles", *mh_cols)
+    bands = sig.select(
+        "uid",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat(
+                                *[
+                                    F.col(f"mh{b * MINHASH_BAND + j}")
+                                    for j in range(MINHASH_BAND)
+                                ]
+                            ).cast("binary")
+                        ).alias("band_hash"),
+                    )
+                    for b in range(MINHASH_PERMS // MINHASH_BAND)
+                ]
+            )
+        ).alias("band"),
+    ).select("uid", "shingles", "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.uid") < F.col("b.uid")),
+        )
+        .select(
+            F.col("a.uid").alias("uid_a"),
+            F.col("b.uid").alias("uid_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["uid_a", "uid_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter * 1.0 / union
+    return pairs.filter(jac >= 0.7).select(
+        "uid_a", "uid_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def q_events_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grok/JSON parse stage over the events stream table."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.round("value", 2).alias("value_r"),
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup per event type (the per-sink aggregate shape)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on >30-minute gaps
+    (window functions; the one genuinely order-sensitive operator)."""
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("new_session").over(w2)
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_sec"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against the all-ones probe vector (the
     exact baseline an LSH/IVF variant must agree with on the head)."""
@@ -341,7 +482,11 @@ QUERIES = {
     "langid": q_langid,
     "content_fingerprint": q_content_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "events_parsed": q_events_parsed,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
 }
 
 
@@ -368,5 +513,9 @@ def oracle_queries() -> dict[str, str]:
         "langid": o.langid_sql(rep),
         "content_fingerprint": o.content_fingerprint_sql(rep),
         "ngram_jaccard_pairs": o.ngram_jaccard_pairs_sql(DEDUP_REP),
+        "minhash_lsh_pairs": o.minhash_lsh_pairs_sql(DEDUP_REP),
         "ann_cosine_topk": o.ann_cosine_topk_sql(10),
+        "events_parsed": o.events_parsed_sql(),
+        "events_hourly": o.events_hourly_sql(),
+        "events_sessions": o.events_sessions_sql(),
     }
