@@ -111,19 +111,24 @@ def main() -> None:
     total_started = time.time()
     print(f"bench: sf_dir={SF_DIR} rep={BENCH_REP}", file=sys.stderr)
 
+    r2 = _run_scan_subprocess("local[2]")
+    print(f"  local[2]: {r2}", file=sys.stderr)
     r8 = _run_scan_subprocess("local[8]")
     print(f"  local[8]: {r8}", file=sys.stderr)
     r32 = _run_scan_subprocess(f"local[{CPUS}]")
     print(f"  local[{CPUS}]: {r32}", file=sys.stderr)
 
+    thr2 = r2["turns"] / r2["elapsed"]
     thr8 = r8["turns"] / r8["elapsed"]
     thr32 = r32["turns"] / r32["elapsed"]
-    efficiency = (thr32 / thr8) / (CPUS / 8)
+    eff_2_8 = (thr8 / thr2) / 4
+    eff_8_32 = (thr32 / thr8) / (CPUS / 8)
 
     from loki_rs_spark.session import get_spark
 
     spark = get_spark(app_name="bench-queries", master=f"local[{CPUS}]")
     queries = _time_queries(spark)
+    queries["scan_pipeline_local2"] = round(r2["elapsed"], 3)
     queries["scan_pipeline_local8"] = round(r8["elapsed"], 3)
     queries[f"scan_pipeline_local{CPUS}"] = round(r32["elapsed"], 3)
     spark.stop()
@@ -136,9 +141,14 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "turns": r32["turns"],
+        "turns_per_sec_local2": round(thr2, 1),
         "turns_per_sec_local8": round(thr8, 1),
         f"turns_per_sec_local{CPUS}": round(thr32, 1),
-        "scaling_efficiency_8_to_32": round(efficiency, 3),
+        # N vs 4N executor-scaling evidence (see BENCH/BASELINE.md): the
+        # 2->8 pair is below this single box's memory-bandwidth/Python-
+        # bridge saturation point; 8->32 shares one bus and one loopback.
+        "scaling_efficiency_2_to_8": round(eff_2_8, 3),
+        "scaling_efficiency_8_to_32": round(eff_8_32, 3),
     }
     print(json.dumps(result))
 

@@ -156,19 +156,24 @@ def scan_ctes(
     sigs: SignatureSet,
     cfg: ScanConfig = DEFAULT_CONFIG,
     rep: int = DEFAULT_REP,
+    source_cte: str | None = None,
+    source_table: str = "transcripts",
+    prefix: str = "",
 ) -> str:
-    """The shared WITH-chain: transcripts -> scanned -> evaluated (reasons,
+    """The shared WITH-chain: source -> scanned -> evaluated (reasons,
     score, level). ``evaluated`` keeps below-threshold rows (level NULL);
-    ``routed`` applies the final filter."""
+    ``routed`` applies the final filter. `prefix` namespaces the chain so
+    two sources can be scanned in one statement (U1 union)."""
     base_cases = ",\n      ".join(_base_reason_cases(sigs))
     cheap, fp = _scan_filters(sigs, cfg)
     c2 = _c2_reason_list(sigs)
-    cte = transcripts_duckdb_cte("", rep=rep)
+    cte = source_cte or transcripts_duckdb_cte("", rep=rep)
+    p = prefix
     return f"""{cte},
-scanned AS (
-  SELECT * FROM transcripts WHERE {cheap}
+{p}scanned AS (
+  SELECT * FROM {source_table} WHERE {cheap}
 ),
-with_reasons AS (
+{p}with_reasons AS (
   SELECT *,
     list_slice(
       list_concat(
@@ -177,10 +182,10 @@ with_reasons AS (
         ], x -> x IS NOT NULL),
         {c2}),
       1, {cfg.max_matches}) AS reasons
-  FROM scanned
+  FROM {p}scanned
   WHERE {fp}
 ),
-evaluated AS (
+{p}evaluated AS (
   SELECT *, CAST(len(reasons) AS INTEGER) AS n_reasons,
     CAST(round(CASE WHEN len(pos_scores) = 0 THEN 0.0
       ELSE 100.0 * (1.0 - list_aggregate(
@@ -189,17 +194,17 @@ evaluated AS (
         'product')) END, 0) AS INTEGER) AS score
   FROM (SELECT *, list_filter(list_transform(reasons, r -> r.score),
                               s -> s > 0) AS pos_scores
-        FROM with_reasons)
+        FROM {p}with_reasons)
 ),
-leveled AS (
+{p}leveled AS (
   SELECT *, CASE WHEN score >= {cfg.alert_threshold} THEN 'ALERT'
                  WHEN score >= {cfg.warning_threshold} THEN 'WARNING'
                  WHEN score >= {cfg.notice_threshold} THEN 'NOTICE'
             END AS level
-  FROM evaluated
+  FROM {p}evaluated
 ),
-routed AS (
-  SELECT * FROM leveled WHERE n_reasons > 0 AND level IS NOT NULL
+{p}routed AS (
+  SELECT * FROM {p}leveled WHERE n_reasons > 0 AND level IS NOT NULL
 )""".strip()
 
 
@@ -383,6 +388,31 @@ SELECT ua AS uid_a, ub AS uid_b,
   round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
 FROM pairs JOIN sizes sa ON sa.uid = ua JOIN sizes sb ON sb.uid = ub
 WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {threshold}"""
+
+
+def union_severity_counts_sql(
+    sigs: SignatureSet, cfg: ScanConfig, rep: int
+) -> str:
+    """U1 module union: transcripts scan ∪ event-turns scan, per-source
+    severity counts."""
+    from .sources.event_turns import event_turns_duckdb_cte
+
+    t_chain = scan_ctes(sigs, cfg, rep, prefix="t_")
+    e_chain = scan_ctes(
+        sigs,
+        cfg,
+        rep,
+        source_cte=event_turns_duckdb_cte(),
+        source_table="event_turns",
+        prefix="e_",
+    )
+    return f"""WITH {t_chain},
+{e_chain}
+SELECT 'transcripts' AS source, level, CAST(count(*) AS BIGINT) AS n
+FROM t_routed GROUP BY level
+UNION ALL
+SELECT 'events' AS source, level, CAST(count(*) AS BIGINT) AS n
+FROM e_routed GROUP BY level"""
 
 
 MINHASH_PERMS = 12

@@ -169,6 +169,30 @@ def q_per_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_conv_rollup_salted(evaluated)
 
 
+def q_union_severity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 module union (src/main.rs:1410-1508): the events table re-shaped
+    into the turn schema, scanned by the SAME pipeline, unioned with the
+    transcript matches — per-source severity counts."""
+    from .sources.event_turns import load_event_turns
+
+    sigs = bundled_signatures()
+    t_routed = _scan(spark, sf_dir).routed
+    e_routed = scan_transcripts(
+        spark, load_event_turns(spark, sf_dir), sigs
+    ).routed
+    t_counts = (
+        t_routed.groupBy("level")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("transcripts").alias("source"), "level", "n")
+    )
+    e_counts = (
+        e_routed.groupBy("level")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("events").alias("source"), "level", "n")
+    )
+    return t_counts.unionByName(e_counts)
+
+
 def q_exit_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.route import exit_code, scan_counters
 
@@ -475,6 +499,7 @@ QUERIES = {
     "filename_ioc_hits": q_filename_ioc_hits,
     "c2_hits": q_c2_hits,
     "per_conv_rollup": q_per_conv_rollup,
+    "union_severity_counts": q_union_severity_counts,
     "exit_code": q_exit_code,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
@@ -506,6 +531,7 @@ def oracle_queries() -> dict[str, str]:
         "filename_ioc_hits": o.filename_ioc_hits_sql(sigs, rep),
         "c2_hits": o.c2_hits_sql(sigs, rep),
         "per_conv_rollup": o.per_conv_rollup_sql(sigs, cfg, rep),
+        "union_severity_counts": o.union_severity_counts_sql(sigs, cfg, rep),
         "exit_code": o.exit_code_sql(sigs, cfg, rep),
         "dedup_exact": o.dedup_exact_sql(DEDUP_REP),
         "token_stats": o.token_stats_sql(rep),

@@ -1,0 +1,104 @@
+"""Scalar text/format helpers (P7-P10, S6/S7) — truth tables mirroring the
+reference implementations."""
+
+from __future__ import annotations
+
+import pytest
+
+from loki_rs_spark.functions.text import (
+    ansi_strip,
+    format_runtime,
+    parse_size,
+    syslog_pri,
+    truncate_cmdline,
+)
+
+
+def test_ansi_strip():
+    assert ansi_strip("\x1b[31mALERT\x1b[0m plain") == "ALERT plain"
+    assert ansi_strip("no codes") == "no codes"
+
+
+def test_format_runtime():
+    assert format_runtime(0) == "0d:0h:0m:0s"
+    assert format_runtime(86400 + 3600 + 60 + 1) == "1d:1h:1m:1s"
+    assert format_runtime(359999) == "4d:3h:59m:59s"
+
+
+def test_truncate_cmdline():
+    assert truncate_cmdline("x" * 100) == "x" * 100
+    out = truncate_cmdline("x" * 101)
+    assert len(out) == 100 and out.endswith("...")
+
+
+def test_parse_size():
+    # mirrors src/helpers/helpers.rs:195-251 expectations (1024-based)
+    assert parse_size("10MB") == 10 * 1024 * 1024
+    assert parse_size("1GB") == 1024**3
+    assert parse_size("512KB") == 512 * 1024
+    assert parse_size("64000000") == 64_000_000
+    assert parse_size("1.5KB") == 1536
+    with pytest.raises(ValueError):
+        parse_size("abc")
+
+
+def test_syslog_pri():
+    # facility 3 (daemon): PRI = 3*8 + severity
+    assert syslog_pri("ALERT") == 25
+    assert syslog_pri("WARNING") == 28
+    assert syslog_pri("NOTICE") == 29
+    assert syslog_pri("INFO") == 30
+    assert syslog_pri("unknown") == 30
+
+
+def test_column_variants(spark):
+    from pyspark.sql import functions as F
+
+    from loki_rs_spark.functions.text import (
+        ansi_strip_col,
+        format_runtime_col,
+        syslog_pri_col,
+        truncate_cmdline_col,
+    )
+
+    df = spark.createDataFrame(
+        [("\x1b[31mred\x1b[0m", 90061, "y" * 150, "ALERT")],
+        "a string, secs long, cmd string, level string",
+    )
+    row = df.select(
+        ansi_strip_col(F.col("a")).alias("stripped"),
+        format_runtime_col(F.col("secs")).alias("runtime"),
+        truncate_cmdline_col(F.col("cmd")).alias("cmd"),
+        syslog_pri_col(F.col("level")).alias("pri"),
+    ).collect()[0]
+    assert row["stripped"] == "red"
+    assert row["runtime"] == format_runtime(90061)
+    assert row["cmd"] == truncate_cmdline("y" * 150)
+    assert row["pri"] == 25
+
+
+def test_plaintext_match_line(spark, sigs):
+    from loki_rs_spark.config import ScanConfig
+    from loki_rs_spark.functions.text import (
+        plaintext_match_line,
+        plaintext_match_line_col,
+    )
+    from loki_rs_spark.plans.pipeline import scan_transcripts
+    from loki_rs_spark.sources.transcripts import load_transcripts
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMALL
+
+    routed = scan_transcripts(
+        spark, load_transcripts(spark, SF_SMALL, rep=2), sigs, ScanConfig()
+    ).routed
+    rows = routed.withColumn(
+        "line",
+        plaintext_match_line_col(
+            F.col("tool"), F.col("score"), F.col("reasons")
+        ),
+    ).collect()
+    assert rows
+    for r in rows[:20]:
+        assert r["line"] == plaintext_match_line(r)
+        assert r["line"].startswith("Match: ")
