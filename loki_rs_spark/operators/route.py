@@ -45,6 +45,25 @@ def exit_code(counters: DataFrame) -> DataFrame:
     )
 
 
+def routed_with_observation(routed: DataFrame):
+    """A6 (SURVEY.md §2.5): the reference keeps live atomic counters
+    (src/helpers/interrupt.rs:8-89); the Spark analog is `observe()` —
+    metrics accumulated task-side during the SAME pass that writes the
+    sink, no extra job. Returns (df, Observation); read `.get` after an
+    action ran."""
+    from pyspark.sql import Observation
+
+    obs = Observation("scan_counters")
+    observed = routed.observe(
+        obs,
+        F.count(F.lit(1)).alias("matched"),
+        F.count(F.when(F.col("level") == "ALERT", 1)).alias("alerts"),
+        F.count(F.when(F.col("level") == "WARNING", 1)).alias("warnings"),
+        F.count(F.when(F.col("level") == "NOTICE", 1)).alias("notices"),
+    )
+    return observed, obs
+
+
 def write_severity_sinks(
     routed: DataFrame, out_dir: str, mode: str = "overwrite"
 ) -> None:

@@ -42,7 +42,31 @@ def write_jsonl(routed: DataFrame, path: str, hostname: str = "spark") -> None:
     routed_to_jsonl_df(routed, hostname).write.mode("overwrite").text(path)
 
 
-def read_jsonl_events(spark: SparkSession, path: str) -> DataFrame:
+def combined_report_aggregates(
+    spark: SparkSession, paths: list[str]
+) -> DataFrame:
+    """A8 (SURVEY.md §2.5): loki-util's combined multi-host report
+    aggregates — union N JSONL files (U2), group findings by hostname with
+    a per-severity histogram (src/loki_util/html_report.rs:330-411)."""
+    events = read_jsonl_events(spark, paths)
+    findings = events.filter(
+        F.col("event_type").isin("turn_match", "file_match", "process_match")
+    )
+    return (
+        findings.groupBy("hostname")
+        .pivot("level", ["ALERT", "WARNING", "NOTICE"])
+        .count()
+        .na.fill(0)
+        .withColumnRenamed("ALERT", "alerts")
+        .withColumnRenamed("WARNING", "warnings")
+        .withColumnRenamed("NOTICE", "notices")
+        .withColumn(
+            "total", F.col("alerts") + F.col("warnings") + F.col("notices")
+        )
+    )
+
+
+def read_jsonl_events(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """PERMISSIVE re-read: malformed lines land in _corrupt_record and are
     dropped, mirroring the reference's skip-malformed tolerance."""
     df = (

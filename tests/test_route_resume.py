@@ -151,3 +151,33 @@ def test_resume_skips_completed(spark, sigs, tmp_path):
         F.sum("n_routed").alias("n"), F.sum("n_alerts").alias("a")
     ).collect()[0]
     assert tot["n"] == len(expected)
+
+
+def test_observe_metrics(spark, result):
+    from loki_rs_spark.operators.route import routed_with_observation
+
+    observed, obs = routed_with_observation(result.routed)
+    n = observed.count()
+    metrics = obs.get
+    assert metrics["matched"] == n
+    assert (
+        metrics["alerts"] + metrics["warnings"] + metrics["notices"] == n
+    )
+
+
+def test_combined_report_aggregates(spark, result, tmp_path):
+    from loki_rs_spark.sources.jsonl import combined_report_aggregates
+
+    paths = []
+    for host in ("host1", "host2"):
+        p = str(tmp_path / host)
+        write_jsonl(result.routed.drop("all_reasons"), p, hostname=host)
+        paths.append(p)
+    report = {
+        r["hostname"]: r for r in combined_report_aggregates(spark, paths).collect()
+    }
+    assert set(report) == {"host1", "host2"}
+    n = result.routed.count()
+    for host in report.values():
+        assert host["total"] == n
+        assert host["alerts"] + host["warnings"] + host["notices"] == n
