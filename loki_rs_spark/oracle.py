@@ -459,6 +459,82 @@ SELECT uid_a, uid_b, round(jac, 4) AS jaccard
 FROM verified WHERE jac >= {threshold}"""
 
 
+SIMHASH_BITS = 16
+
+
+def simhash_groups_sql(rep: int) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    # token 16-bit hash from 4 md5 hex nibbles
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        k = SIMHASH_BITS - 1 - b
+        contrib = (
+            f"list_aggregate(list_transform(hs, h -> ((h >> {k}) & 1) * 2 - 1),"
+            f" 'sum')"
+        )
+        bit_terms.append(
+            f"(CASE WHEN {contrib} > 0 THEN 1 ELSE 0 END) * {2 ** k}"
+        )
+    simhash = " + ".join(bit_terms)
+    return f"""WITH {cte},
+hashed AS (
+  SELECT uid, list_transform(list_distinct(string_split(text, ' ')),
+                             t -> {nibbles}) AS hs
+  FROM transcripts),
+sh AS (SELECT uid, CAST({simhash} AS INTEGER) AS simhash FROM hashed)
+SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(uid) AS min_uid
+FROM sh GROUP BY simhash HAVING count(*) > 1"""
+
+
+def ann_lsh_topk_sql(k: int = 10) -> str:
+    from .queries import _ann_planes
+
+    planes = _ann_planes()
+    plane_lits = [
+        "[" + ", ".join(repr(p) for p in plane) + "]" for plane in planes
+    ]
+    bucket_terms = []
+    for i, lit in enumerate(plane_lits):
+        shift = len(planes) - 1 - i
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(d, {lit}) > 0 THEN 1 ELSE 0 END)"
+            f" * {2 ** shift}"
+        )
+    bucket = " + ".join(bucket_terms)
+    q_bucket = 0
+    for plane in planes:
+        q_bucket = q_bucket * 2 + (1 if sum(plane) > 0 else 0)
+    return f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+  FROM embeddings),
+b AS (
+  SELECT vec_id, CAST({bucket} AS INTEGER) AS bucket,
+    list_aggregate(d, 'sum')
+      / (sqrt(list_aggregate(list_transform(d, x -> x * x), 'sum')) * 8.0)
+      AS cos_raw
+  FROM e)
+SELECT vec_id, round(cos_raw, 4) AS cos_sim
+FROM b WHERE bucket = {q_bucket}
+ORDER BY cos_raw DESC, vec_id LIMIT {k}"""
+
+
+def tool_type_counts_sql(rep: int) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    return f"""WITH {cte}
+SELECT CASE WHEN ends_with(tool, '.exe') THEN 'EXECUTABLE'
+            WHEN ends_with(tool, '.bin') THEN 'BINARY'
+            WHEN starts_with(tool, 'debug-') THEN 'DEBUG'
+            WHEN starts_with(tool, 'tool-') THEN 'GENERIC'
+            ELSE 'OTHER' END AS tool_type,
+  CAST(count(*) AS BIGINT) AS n
+FROM transcripts GROUP BY 1"""
+
+
 def events_parsed_sql() -> str:
     return """SELECT event_id, user_id, event_type,
   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

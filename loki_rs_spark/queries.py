@@ -416,6 +416,115 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 16
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup grouping: 16-bit simhash from md5-derived per-token
+    hashes (the shared hash both engines implement identically), exact
+    groups with >1 member. Bit b of a token's hash comes from the first 4
+    hex nibbles of md5(token)."""
+    df = load_transcripts(spark, sf_dir, rep=DEDUP_REP)
+    toks = F.array_distinct(F.split("text", " "))
+
+    def token_hash(t):  # 16-bit int from 4 md5 hex nibbles
+        h = F.md5(t.cast("binary"))
+        val = F.lit(0)
+        for i in range(4):
+            nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+            val = val * 16 + nib
+        return val
+
+    def bit_fold(k: int):
+        # closure factory: F.aggregate's merge lambda must have arity 2
+        return lambda acc, h: acc + (
+            F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    hs = F.transform(toks, token_hash)
+    simhash = F.lit(0)
+    for b in range(SIMHASH_BITS):
+        k = SIMHASH_BITS - 1 - b
+        contrib = F.aggregate(hs, F.lit(0), bit_fold(k))
+        simhash = simhash * 2 + F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0))
+
+    sh = df.select("uid", simhash.cast("int").alias("simhash"))
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("uid").alias("min_uid"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+ANN_PLANES = 8
+ANN_DIM = 64
+
+
+def _ann_planes() -> list[list[float]]:
+    import random
+
+    rng = random.Random(42)
+    return [
+        [rng.gauss(0, 1) for _ in range(ANN_DIM)] for _ in range(ANN_PLANES)
+    ]
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path next to the brute-force baseline):
+    8 random-hyperplane sign bits bucket the vectors; top-10 by exact
+    cosine WITHIN the probe vector's bucket. Deterministic planes
+    (seed 42) are shared with the oracle."""
+    planes = _ann_planes()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot_with(plane: list[float]):
+        plane_col = F.array(*[F.lit(p) for p in plane])
+        return F.aggregate(
+            F.zip_with(d, plane_col, lambda x, p: x * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.lit(0)
+    for plane in planes:
+        bucket = bucket * 2 + F.when(dot_with(plane) > 0, 1).otherwise(0)
+    # probe = all-ones vector; its bucket is a compile-time constant
+    q_bucket = 0
+    for plane in planes:
+        q_bucket = q_bucket * 2 + (1 if sum(plane) > 0 else 0)
+
+    dot = F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+    cand = emb.select(
+        "vec_id",
+        bucket.cast("int").alias("bucket"),
+        (dot / (F.sqrt(nrm) * 8.0)).alias("cos_raw"),
+    ).filter(F.col("bucket") == q_bucket)
+    return (
+        cand.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+def q_tool_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 analog (file-type detection): classify the tool field into coarse
+    types and count per type — the magic-byte classification of the
+    reference re-expressed as a dictionary CASE."""
+    df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    tool_type = (
+        F.when(F.col("tool").endswith(".exe"), F.lit("EXECUTABLE"))
+        .when(F.col("tool").endswith(".bin"), F.lit("BINARY"))
+        .when(F.col("tool").startswith("debug-"), F.lit("DEBUG"))
+        .when(F.col("tool").startswith("tool-"), F.lit("GENERIC"))
+        .otherwise(F.lit("OTHER"))
+    )
+    return df.groupBy(tool_type.alias("tool_type")).agg(
+        F.count("*").alias("n")
+    )
+
+
 def q_events_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The grok/JSON parse stage over the events stream table."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -508,7 +617,10 @@ QUERIES = {
     "content_fingerprint": q_content_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_groups": q_simhash_groups,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "tool_type_counts": q_tool_type_counts,
     "events_parsed": q_events_parsed,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -540,7 +652,10 @@ def oracle_queries() -> dict[str, str]:
         "content_fingerprint": o.content_fingerprint_sql(rep),
         "ngram_jaccard_pairs": o.ngram_jaccard_pairs_sql(DEDUP_REP),
         "minhash_lsh_pairs": o.minhash_lsh_pairs_sql(DEDUP_REP),
+        "simhash_groups": o.simhash_groups_sql(DEDUP_REP),
         "ann_cosine_topk": o.ann_cosine_topk_sql(10),
+        "ann_lsh_topk": o.ann_lsh_topk_sql(10),
+        "tool_type_counts": o.tool_type_counts_sql(rep),
         "events_parsed": o.events_parsed_sql(),
         "events_hourly": o.events_hourly_sql(),
         "events_sessions": o.events_sessions_sql(),
