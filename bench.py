@@ -49,14 +49,14 @@ def _scan_worker(master: str, sf_dir: str, rep: int) -> None:
     transcripts = load_transcripts(spark, sf_dir, rep=rep)
     result = scan_transcripts(spark, transcripts, bundled_signatures())
     n_turns = result.scanned.count()  # cheap: no UDF in this subplan
-    # 4 warm-up passes (python-daemon spawn + C2 JIT needs several
-    # iterations to reach steady state), then min of 5 measured passes —
+    # 3 warm-up passes (python-daemon spawn + C2 JIT needs several
+    # iterations to reach steady state), then min of 3 measured passes —
     # single-run timings on this box swing 2x from JIT recompilation, so
     # the steady-state minimum is the honest number.
-    for _ in range(4):
+    for _ in range(3):
         _noop(result.routed)
     times = []
-    for _ in range(5):
+    for _ in range(3):
         started = time.time()
         _noop(result.routed)
         times.append(time.time() - started)

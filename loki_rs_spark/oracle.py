@@ -300,6 +300,17 @@ SELECT conv_id,
 FROM leveled GROUP BY conv_id"""
 
 
+def conv_running_sql(sigs: SignatureSet, cfg: ScanConfig, rep: int) -> str:
+    return f"""WITH {scan_ctes(sigs, cfg, rep)}
+SELECT conv_id, turn_idx,
+  CAST(sum(CASE WHEN level IS NOT NULL THEN 1 ELSE 0 END) OVER w AS BIGINT)
+    AS cum_matches,
+  max(score) OVER w AS cum_max_score
+FROM leveled
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS UNBOUNDED PRECEDING)"""
+
+
 def exit_code_sql(sigs: SignatureSet, cfg: ScanConfig, rep: int) -> str:
     return f"""WITH {scan_ctes(sigs, cfg, rep)}
 SELECT CAST(CASE WHEN count(CASE WHEN level IN ('ALERT','WARNING') THEN 1 END) > 0

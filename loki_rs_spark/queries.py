@@ -169,6 +169,30 @@ def q_per_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_conv_rollup_salted(evaluated)
 
 
+def q_conv_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation cumulative view under stable (conv_id, turn_idx)
+    ordering (SURVEY.md §2.9): running routed-match count and running max
+    score per turn."""
+    from pyspark.sql import Window
+
+    evaluated = _scan(spark, sf_dir).evaluated
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return evaluated.select(
+        "conv_id",
+        "turn_idx",
+        F.sum(
+            F.when(F.col("level").isNotNull(), 1).otherwise(0)
+        )
+        .over(w)
+        .alias("cum_matches"),
+        F.max("score").over(w).alias("cum_max_score"),
+    )
+
+
 def q_union_severity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 module union (src/main.rs:1410-1508): the events table re-shaped
     into the turn schema, scanned by the SAME pipeline, unioned with the
@@ -609,6 +633,7 @@ QUERIES = {
     "c2_hits": q_c2_hits,
     "per_conv_rollup": q_per_conv_rollup,
     "union_severity_counts": q_union_severity_counts,
+    "conv_running": q_conv_running,
     "exit_code": q_exit_code,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
@@ -644,6 +669,7 @@ def oracle_queries() -> dict[str, str]:
         "c2_hits": o.c2_hits_sql(sigs, rep),
         "per_conv_rollup": o.per_conv_rollup_sql(sigs, cfg, rep),
         "union_severity_counts": o.union_severity_counts_sql(sigs, cfg, rep),
+        "conv_running": o.conv_running_sql(sigs, cfg, rep),
         "exit_code": o.exit_code_sql(sigs, cfg, rep),
         "dedup_exact": o.dedup_exact_sql(DEDUP_REP),
         "token_stats": o.token_stats_sql(rep),
