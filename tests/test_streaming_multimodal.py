@@ -67,3 +67,47 @@ def test_multimodal_feature_extraction(spark):
     # deterministic across plans
     again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
     assert all(again[r["media_id"]] == r["feature"] for r in feats)
+
+
+def test_stateful_conv_totals_resume(spark, sigs, tmp_path):
+    """applyInPandasWithState totals accumulate across TWO separate
+    AvailableNow runs (state restored from checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from loki_rs_spark.streaming.stateful import run_stateful_totals
+
+    transcripts = load_transcripts(spark, SF_SMALL, rep=2).cache()
+    half_a = transcripts.filter(F.col("uid") % 2 == 0)
+    half_b = transcripts.filter(F.col("uid") % 2 == 1)
+    in_dir = str(tmp_path / "turns")
+    out_dir = str(tmp_path / "state_out")
+
+    half_a.write.mode("overwrite").parquet(in_dir)
+    run_stateful_totals(spark, in_dir, transcripts, sigs, out_dir, CFG)
+    half_b.write.mode("append").parquet(in_dir)
+    run_stateful_totals(spark, in_dir, transcripts, sigs, out_dir, CFG)
+
+    # latest emitted total per conversation == batch-mode totals
+    totals = spark.read.parquet(f"{out_dir}/conv_totals")
+    latest = {
+        r["conv_id"]: (r["total_matches"], r["total_alerts"], r["max_score"])
+        for r in totals.groupBy("conv_id")
+        .agg(
+            F.max("total_matches").alias("total_matches"),
+            F.max("total_alerts").alias("total_alerts"),
+            F.max("max_score").alias("max_score"),
+        )
+        .collect()
+    }
+    batch = scan_transcripts(spark, transcripts, sigs, CFG).routed
+    expected = {
+        r["conv_id"]: (r["n"], r["a"], r["m"])
+        for r in batch.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("level") == "ALERT", 1)).alias("a"),
+            F.max("score").alias("m"),
+        )
+        .collect()
+    }
+    assert latest == expected and len(latest) > 0
