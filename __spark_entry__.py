@@ -21,9 +21,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the full scan pipeline's routed matches at sf0.001."""
-    from loki_rs_spark.queries import q_scan_matches
+    from loki_rs_spark.queries import QUERIES
 
-    return q_scan_matches(spark, "/root/testdata/sf0.001")
+    return QUERIES["scan_matches"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -622,6 +622,18 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _utc(fn):
+    """Timestamp-bearing queries assume a UTC session (the oracle's DuckDB
+    timestamps are naive UTC); pin it regardless of the caller's session."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "scan_matches": q_scan_matches,
@@ -650,6 +662,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
 }
+QUERIES = {name: _utc(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_queries() -> dict[str, str]:

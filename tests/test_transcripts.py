@@ -79,3 +79,35 @@ def test_conversation_skew(spark):
     assert (
         df.select("conv_id", "turn_idx").distinct().count() == 500 * REP
     )
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark, tmp_path):
+    """North-rule invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering — write with the pipeline's range
+    repartition + sortWithinPartitions, read back, compare the ordered
+    text sequence against the DuckDB rendering ordered the same way."""
+    df = load_transcripts(spark, SF_SMALL, rep=REP)
+    out = str(tmp_path / "ordered")
+    (
+        df.repartitionByRange(4, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.parquet(out)
+    )
+    back = (
+        spark.read.parquet(out)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    cte = transcripts_duckdb_cte(SF_SMALL, rep=REP)
+    oracle = con.execute(
+        f"WITH {cte} SELECT conv_id, turn_idx, text FROM transcripts "
+        "ORDER BY conv_id, turn_idx"
+    ).fetchall()
+    assert len(back) == len(oracle)
+    for got, exp in zip(back, oracle):
+        assert (got["conv_id"], got["turn_idx"], got["text"]) == exp
