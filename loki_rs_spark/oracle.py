@@ -534,6 +534,20 @@ FROM b WHERE bucket = {q_bucket}
 ORDER BY cos_raw DESC, vec_id LIMIT {k}"""
 
 
+def embedding_cosine_pairs_sql(threshold: float = 0.45) -> str:
+    return f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+  FROM embeddings),
+n AS (
+  SELECT vec_id, d,
+    sqrt(list_aggregate(list_transform(d, x -> x * x), 'sum')) AS nrm
+  FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_dot_product(a.d, b.d) / (a.nrm * b.nrm), 4) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.d, b.d) / (a.nrm * b.nrm) >= {threshold}"""
+
+
 def tool_type_counts_sql(rep: int) -> str:
     cte = transcripts_duckdb_cte("", rep=rep)
     return f"""WITH {cte}

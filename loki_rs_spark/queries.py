@@ -532,6 +532,35 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: brute-force all-pairs cosine with a
+    broadcast self-join (the exact baseline; the LSH variant is the scale
+    path). Threshold 0.45 chosen to yield non-trivial pairs on the
+    synthetic embeddings."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select("vec_id", d.alias("d"), nrm.alias("nrm"))
+    a = base.alias("a")
+    b = base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.d"), F.col("b.d"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= 0.45)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
 def q_tool_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 analog (file-type detection): classify the tool field into coarse
     types and count per type — the magic-byte classification of the
@@ -657,6 +686,7 @@ QUERIES = {
     "simhash_groups": q_simhash_groups,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "tool_type_counts": q_tool_type_counts,
     "events_parsed": q_events_parsed,
     "events_hourly": q_events_hourly,
@@ -694,6 +724,7 @@ def oracle_queries() -> dict[str, str]:
         "simhash_groups": o.simhash_groups_sql(DEDUP_REP),
         "ann_cosine_topk": o.ann_cosine_topk_sql(10),
         "ann_lsh_topk": o.ann_lsh_topk_sql(10),
+        "embedding_cosine_pairs": o.embedding_cosine_pairs_sql(0.45),
         "tool_type_counts": o.tool_type_counts_sql(rep),
         "events_parsed": o.events_parsed_sql(),
         "events_hourly": o.events_hourly_sql(),
