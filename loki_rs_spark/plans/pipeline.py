@@ -232,21 +232,32 @@ def scan_transcripts(
 
     evaluated = project(df)
 
-    # Routed rows take a lean branch: filter on the cheap candidate
-    # predicate FIRST (prunes the ~85-95% of turns that can't match), so
-    # the reason-assembly / score-fold expressions only ever see candidate
-    # rows. The `evaluated` frame keeps all rows (rollups need them).
-    if isinstance(candidate, Column) and matcher in ("arrow", "pandas"):
-        routed_base = project(df.filter(candidate))
-    else:
-        routed_base = evaluated
+    # Pushdown barrier: without it, Catalyst's PushDownPredicates rewrites
+    # filter(project(x)) into project(filter(x)) by SUBSTITUTING the
+    # n_reasons/level expressions into the predicate — the (expensive,
+    # higher-order) reason/score expression tree then evaluates up to 3x
+    # per row. A non-deterministic column pins the filter ABOVE the
+    # projection, so the tree evaluates exactly once per row (measured:
+    # -20% CPU/row on the full pipeline). The barrier column itself is
+    # dropped and never observed, so determinism of results is unaffected.
+    routed_base = evaluated
+    if not evaluated.isStreaming:
+        # monotonically_increasing_id is rejected in streaming plans;
+        # micro-batches are small enough that the duplicated evaluation
+        # doesn't matter there.
+        routed_base = evaluated.withColumn(
+            "_barrier", F.monotonically_increasing_id()
+        )
     routed = (
-        routed_base.filter(F.col("n_reasons") > 0)
-        .filter(F.col("level").isNotNull())
+        routed_base.filter(
+            (F.col("n_reasons") > 0) & F.col("level").isNotNull()
+        )
         .withColumn(
             "reasons", F.slice(F.col("all_reasons"), 1, cfg.max_reasons)
         )
     )
+    if "_barrier" in routed.columns:
+        routed = routed.drop("_barrier")
 
     return ScanResult(scanned=scanned, evaluated=evaluated, routed=routed)
 
