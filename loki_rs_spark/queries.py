@@ -76,6 +76,33 @@ def q_scan_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_matches_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same scan through the pure-Catalyst matcher path (static
+    per-rule predicates, no Python at all) — shares scan_matches' oracle,
+    so the two matcher implementations are cross-checked through the
+    correctness gate."""
+    transcripts = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    routed = scan_transcripts(
+        spark, transcripts, bundled_signatures(), matcher="catalyst"
+    ).routed
+    r1 = F.get(F.col("all_reasons"), 0)
+    r2 = F.get(F.col("all_reasons"), 1)
+    return routed.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "md5",
+        "sha256",
+        "score",
+        "level",
+        "n_reasons",
+        r1["message"].alias("reason1_msg"),
+        r1["score"].alias("reason1_score"),
+        r2["message"].alias("reason2_msg"),
+        r2["score"].alias("reason2_score"),
+    )
+
+
 def q_severity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = _scan(spark, sf_dir).routed
     return routed.groupBy("level").agg(F.count("*").alias("n"))
@@ -666,6 +693,7 @@ def _utc(fn):
 QUERIES = {
     "transcripts": q_transcripts,
     "scan_matches": q_scan_matches,
+    "scan_matches_catalyst": q_scan_matches_catalyst,
     "severity_counts": q_severity_counts,
     "scan_counters": q_scan_counters,
     "rule_match_counts": q_rule_match_counts,
@@ -704,6 +732,7 @@ def oracle_queries() -> dict[str, str]:
     return {
         "transcripts": o.transcripts_sql(rep),
         "scan_matches": o.scan_matches_sql(sigs, cfg, rep),
+        "scan_matches_catalyst": o.scan_matches_sql(sigs, cfg, rep),
         "severity_counts": o.severity_counts_sql(sigs, cfg, rep),
         "scan_counters": o.scan_counters_sql(sigs, cfg, rep),
         "rule_match_counts": o.rule_match_counts_sql(sigs, cfg, rep),
