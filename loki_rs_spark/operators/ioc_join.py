@@ -44,7 +44,12 @@ HASH_TYPES = ("md5", "sha1", "sha256")
 # subset that behaves identically in Java regex (Spark), RE2 (DuckDB) and
 # Python `re` so engine and oracle agree.
 HOST_PATTERN = r"\b(?:(?:\d{1,3}\.){3}\d{1,3}|[a-z0-9][a-z0-9.-]*\.[a-z]{2,})\b"
-IPV4_PATTERN = r"^(?:\d{1,3}\.){3}\d{1,3}$"
+# Octets restricted to 0-255 to match the reference's is_ip_address
+# (src/main.rs:612-651): an out-of-range token like 999.12.34.56 is NOT an
+# IP and falls through to domain suffix matching. Shared with the DuckDB
+# oracle (RE2) — no lookarounds/backrefs so both engines agree.
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+IPV4_PATTERN = rf"^(?:{_OCTET}\.){{3}}{_OCTET}$"
 
 
 def reason_struct(
@@ -108,8 +113,13 @@ def hash_reason_array(
         iocs = sigs.hashes_of_type(hash_type)
         if not iocs:
             continue
+        # one IOC per hash value (first wins), whatever the set's origin —
+        # a duplicate would fan the left join out into duplicate routed rows
+        uniq: dict[str, tuple] = {}
+        for h in iocs:
+            uniq.setdefault(h.hash_value, (h.hash_value, h.score, h.description))
         ioc_df = spark.createDataFrame(
-            [(h.hash_value, h.score, h.description) for h in iocs],
+            list(uniq.values()),
             f"ioc_{hash_type}_hash string, ioc_{hash_type}_score int, "
             f"ioc_{hash_type}_desc string",
         )

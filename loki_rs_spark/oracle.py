@@ -583,9 +583,9 @@ def events_sessions_sql(gap_sec: int = 1800) -> str:
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sessions AS (
-  SELECT *, sum(new_session) OVER
+  SELECT *, CAST(sum(new_session) OVER
     (PARTITION BY user_id ORDER BY ts, event_id
-     ROWS UNBOUNDED PRECEDING) AS session_idx
+     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM flagged)
 SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
   CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec

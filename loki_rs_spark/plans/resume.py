@@ -73,6 +73,22 @@ def run_resumable_scan(
     # frame (the pipeline projects a fixed output schema)
     routed = with_part_id(result.routed.drop("all_reasons"), n_buckets)
 
+    # Any on-disk partition for a PENDING bucket is leftover from a crashed
+    # run (completed buckets are in lineage and excluded above). Clear them
+    # up front: dynamic partition overwrite only replaces partitions present
+    # in THIS write, so a pending bucket that routes zero rows this run
+    # would otherwise keep stale data while lineage marks it complete.
+    # Driver-side loop is fine — pending count is bounded by n_buckets.
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for b in sorted(pending):
+        part_path = jvm.org.apache.hadoop.fs.Path(
+            f"{out_dir}/routed/part_id={int(b)}"
+        )
+        fs = part_path.getFileSystem(hconf)
+        if fs.exists(part_path):
+            fs.delete(part_path, True)
+
     started = time.time()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
@@ -85,18 +101,32 @@ def run_resumable_scan(
 
     # lineage + metrics: one row per completed bucket. Buckets with zero
     # routed rows still get a lineage row (completed != produced output).
+    # Metrics are aggregated from the JUST-WRITTEN parquet, not from the
+    # lazy `routed` plan — re-evaluating `routed` would execute the full
+    # scan pipeline (matcher UDF included) a second time; the read-back is
+    # a partition-pruned scan of data this invocation just produced.
     all_pending = spark.createDataFrame(
         [(int(b),) for b in pending], "part_id bigint"
     )
-    metrics = (
-        routed.groupBy("part_id")
-        .agg(
+    try:
+        written = spark.read.parquet(f"{out_dir}/routed").filter(
+            F.col("part_id").isin([int(b) for b in pending])
+        )
+        per_bucket = written.groupBy("part_id").agg(
             F.count("*").alias("n_routed"),
             F.count(F.when(F.col("level") == "ALERT", 1)).alias("n_alerts"),
             F.count(F.when(F.col("level") == "WARNING", 1)).alias("n_warnings"),
             F.count(F.when(F.col("level") == "NOTICE", 1)).alias("n_notices"),
         )
-        .join(all_pending, "part_id", "right")
+    except Exception:  # nothing routed at all => no parquet footer to read
+        per_bucket = spark.createDataFrame(
+            [],
+            "part_id bigint, n_routed bigint, n_alerts bigint, "
+            "n_warnings bigint, n_notices bigint",
+        )
+
+    metrics = (
+        per_bucket.join(all_pending, "part_id", "right")
         .na.fill(0)
         .withColumn("completed_at", F.lit(started).cast("double"))
     )

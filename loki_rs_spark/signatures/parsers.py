@@ -57,6 +57,7 @@ def _valid_score(s: int) -> bool:
 
 def parse_hash_iocs(text: str) -> list[HashIOC]:
     iocs: list[HashIOC] = []
+    seen: set[str] = set()
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
@@ -81,6 +82,13 @@ def parse_hash_iocs(text: str) -> list[HashIOC]:
             score, description = DEFAULT_SCORE, parts[1].strip()
         else:
             continue
+        # Dedupe on hash_value, first entry wins: the reference's binary
+        # search (src/main.rs:456-501) yields exactly one IOC per probe, so
+        # a duplicated hash in an aggregated feed must not fan the broadcast
+        # left join out into duplicate routed rows.
+        if hash_value in seen:
+            continue
+        seen.add(hash_value)
         iocs.append(HashIOC(hash_value, hash_type, score, description))
     # reference sorts for binary search (src/main.rs:352); a Spark broadcast
     # hash join needs no sort, but keep the order deterministic anyway

@@ -57,6 +57,19 @@ short;50;skipped
     assert values == sorted(values)
 
 
+def test_hash_ioc_duplicates_first_wins():
+    # Aggregated feeds repeat hashes; the reference's binary search yields
+    # exactly one IOC per probe, so the parser must dedupe (first wins) or
+    # the broadcast left join fans out duplicate routed rows.
+    text = """
+d41d8cd98f00b204e9800998ecf8427e;55;first
+d41d8cd98f00b204e9800998ecf8427e;90;second
+"""
+    iocs = parse_hash_iocs(text)
+    assert len(iocs) == 1
+    assert iocs[0].score == 55 and iocs[0].description == "first"
+
+
 def test_filename_ioc_comment_description_and_fp():
     text = """
 # Mimikatz credential dumper

@@ -79,6 +79,27 @@ def test_c2_truth_table(spark, text, hit):
         assert routed[0][2][0].startswith("C2 IOC match")
 
 
+# Out-of-range octets are NOT IPs (reference is_ip_address requires 0-255,
+# src/main.rs:612-651): "999.12.34.56" falls through to domain SUFFIX
+# matching, so a C2 entry "12.34.56" hits it while a true IP entry never
+# suffix-matches.
+OCTET_SIGS = _sigs(c2_iocs=[C2IOC("12.34.56", 80, "")])
+
+
+@pytest.mark.parametrize(
+    "text,hit",
+    [
+        ("connect 999.12.34.56 now", True),  # not an IP -> suffix match
+        ("connect 9.12.34.56 now", False),  # valid IP -> exact only
+    ],
+)
+def test_c2_out_of_range_octet(spark, text, hit):
+    ref = scan_turn("c0", 0, text, "tool-x", OCTET_SIGS, CFG)
+    assert (ref is not None) == hit
+    routed = _routed_levels(spark, [(text, "tool-x")], OCTET_SIGS)
+    assert (0 in routed) == hit
+
+
 # ---- filename IOC + fp_regex truth table (src/main.rs tests) -------------
 
 FN_SIGS = _sigs(
