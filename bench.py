@@ -148,7 +148,32 @@ def _time_queries(spark) -> dict[str, float]:
         _noop(df)
         timings[name] = round(time.time() - started, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    timings["ngram_hot_shingle_guard"] = _time_hot_shingle_guard(spark)
+    print(
+        f"  ngram_hot_shingle_guard: {timings['ngram_hot_shingle_guard']}s",
+        file=sys.stderr,
+    )
     return timings
+
+
+def _time_hot_shingle_guard(spark) -> float:
+    """Planted pathological corpus: 1000 docs sharing one boilerplate
+    shingle (plus a real near-dup pair). Uncapped, the shared shingle
+    alone is a 10^6-row join; the df cap must keep this near-instant."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from loki_rs_spark.queries import ngram_jaccard_pairs_from
+
+    rows = [
+        (i, ["HOT BOILER SHINGLE", f"u{i} a b", f"u{i} c d"])
+        for i in range(1000)
+    ]
+    shingled = spark.createDataFrame(rows, "uid long, shingles array<string>")
+    out = ngram_jaccard_pairs_from(shingled, threshold=0.5, df_cap=100)
+    _noop(out)  # warm
+    started = time.time()
+    _noop(out)
+    return round(time.time() - started, 3)
 
 
 def _best_scan(master: str, attempts: int = 1,

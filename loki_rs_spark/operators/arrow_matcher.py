@@ -31,8 +31,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 
+from ..signatures.compile import boolean_regex, literal_probe
+from ..signatures.conditions import (
+    EXTENSION_REGEX,
+    TOOL_TYPE_DEFAULT,
+    TOOL_TYPE_RULES,
+    ExtPred,
+    render_condition,
+)
 from ..signatures.model import SignatureSet
-from .matcher import MAX_YARA_MATCHES, _engine_for, format_matched_data
+from .matcher import (
+    MAX_YARA_MATCHES,
+    _engine_for,
+    _MaskBackend,
+    format_matched_data,
+)
 
 FNAME_STRUCT = pa.struct(
     [
@@ -67,6 +80,80 @@ def _mask(arr, pattern: str, *, regex: bool, ignore_case: bool = False) -> np.nd
     return m.to_numpy(zero_copy_only=False).astype(bool)
 
 
+def _string_mask(arr, s) -> np.ndarray:
+    """Boolean mask for one YaraString: literal kernel when possible,
+    RE2 regex (modifier-aware, see signatures/compile.py) otherwise."""
+    probe = literal_probe(s)
+    if probe is not None:
+        needle, nocase = probe
+        return _mask(arr, needle, regex=False, ignore_case=nocase)
+    return _mask(arr, boolean_regex(s, "re2"), regex=True)
+
+
+class ArrowExtVars:
+    """The 5 reference scan globals over pyarrow arrays (turn-table
+    mapping in signatures/conditions.py); lazy + cached per batch."""
+
+    def __init__(self, tool: pa.Array, role: pa.Array) -> None:
+        self._tool = tool
+        self._role = role
+        self._cache: dict[str, pa.Array] = {}
+
+    def col(self, var: str):
+        got = self._cache.get(var)
+        if got is not None:
+            return got
+        if var in ("filename", "filepath"):
+            out = self._tool
+        elif var == "owner":
+            out = self._role
+        elif var == "extension":
+            ext_re = EXTENSION_REGEX.replace("(", "(?P<e>", 1)
+            struct = pc.extract_regex(self._tool, ext_re)
+            out = pc.fill_null(pc.struct_field(struct, "e"), "")
+        elif var == "filetype":
+            out = pa.array([TOOL_TYPE_DEFAULT] * len(self._tool))
+            # reverse order: earlier rules win
+            for op, arg, label in reversed(TOOL_TYPE_RULES):
+                mask = (
+                    pc.ends_with(self._tool, arg)
+                    if op == "endswith"
+                    else pc.starts_with(self._tool, arg)
+                )
+                out = pc.if_else(mask, label, out)
+        else:  # pragma: no cover - parser restricts vars
+            raise ValueError(f"unknown external var {var}")
+        self._cache[var] = out
+        return out
+
+    def pred(self, p: ExtPred) -> np.ndarray:
+        col = self.col(p.var)
+        v = p.value
+        if p.op == "eq":
+            m = pc.equal(col, v)
+        elif p.op == "ne":
+            m = pc.not_equal(col, v)
+        elif p.op == "iequals":
+            m = pc.equal(pc.utf8_lower(col), v.lower())
+        elif p.op == "contains":
+            m = pc.match_substring(col, v)
+        elif p.op == "icontains":
+            m = pc.match_substring(col, v, ignore_case=True)
+        elif p.op == "startswith":
+            m = pc.starts_with(col, v)
+        elif p.op == "istartswith":
+            m = pc.starts_with(col, v, ignore_case=True)
+        elif p.op == "endswith":
+            m = pc.ends_with(col, v)
+        elif p.op == "iendswith":
+            m = pc.ends_with(col, v, ignore_case=True)
+        elif p.op == "matches":
+            m = pc.match_substring_regex(col, v)
+        else:  # pragma: no cover - parser restricts ops
+            raise ValueError(f"unknown ext op {p.op}")
+        return m.to_numpy(zero_copy_only=False).astype(bool)
+
+
 def _list_struct_array(
     struct_type: pa.StructType, counts: np.ndarray, rows: dict[int, list[dict]]
 ) -> pa.Array:
@@ -85,6 +172,8 @@ def match_record_batch(engine, batch: pa.RecordBatch) -> tuple[pa.Array, pa.Arra
     """Match one RecordBatch; returns (_m_fname, _m_yara) list arrays."""
     text = batch.column("text")
     tool = batch.column("tool")
+    role = batch.column("role")
+    ext = ArrowExtVars(tool, role)
     n = batch.num_rows
 
     # ---- filename IOCs (J3)
@@ -111,14 +200,21 @@ def match_record_batch(engine, batch: pa.RecordBatch) -> tuple[pa.Array, pa.Arra
     ya_rows: dict[int, list[dict]] = {}
     text_cache: dict[int, str] = {}
     for compiled in engine.yara:
-        masks = [
-            _mask(text, s.pattern, regex=s.is_regex, ignore_case=s.nocase)
-            for s in compiled.rule.strings
-        ]
-        fired = np.zeros(n, dtype=np.int32)
+        masks = [_string_mask(text, s) for s in compiled.rule.strings]
+        counts = np.zeros(n, dtype=np.int32)
         for m in masks:
-            fired += m
-        for idx in np.nonzero(fired >= compiled.needed)[0]:
+            counts += m
+        backend = _MaskBackend(
+            {
+                ident: m
+                for (ident, _), m in zip(compiled.patterns, masks)
+            },
+            counts,
+            len(compiled.patterns),
+            ext,
+        )
+        fired = render_condition(compiled.ast, backend)
+        for idx in np.nonzero(fired)[0]:
             i = int(idx)
             if ya_counts[i] >= MAX_YARA_MATCHES:
                 continue
@@ -152,55 +248,68 @@ def match_record_batch(engine, batch: pa.RecordBatch) -> tuple[pa.Array, pa.Arra
     return fname_arr, yara_arr
 
 
-def _java_escape_literal(lit: str) -> str:
-    """Escape a literal for Java regex (Python re.escape emits only
-    punctuation escapes, which Java accepts)."""
-    import re as _re
-
-    return _re.escape(lit)
-
-
-def match_gate_exprs(sigs: SignatureSet):
-    """Cheap JVM-side candidate gates for the UDF matcher: a single
-    alternation regex over `text` (all YARA string literals/regexes) and one
-    over `tool` (all filename-IOC patterns). A row that fails both gates
-    cannot match any signature, so the pipeline blanks its strings before
-    the Arrow UDF — the Python bridge then carries only candidate bytes.
+def text_gate_expr(sigs: SignatureSet):
+    """Cheap JVM-side candidate gate for the UDF matcher: a superset
+    predicate over `text` built from every YARA string's cheapest
+    rendering. Rows failing the gate cannot match any text string, so the
+    pipeline blanks their text before the Arrow UDF — the Python bridge
+    then carries only candidate bytes. (`tool` and `role` always cross the
+    bridge UNGATED: they are tiny, and external-variable conditions —
+    filename/filepath/extension/filetype/owner — need true values.)
 
     This is the Spark rendering of the reference's cheap-predicates-before-
     expensive-scan ordering (src/modules/filesystem_scan.rs:590-708), and
     is REQUIRED at scale: Catalyst cannot push selectivity through an
-    opaque UDF, so we stage it ourselves. Returns (text_gate, tool_gate)
-    Column predicates, each a superset of the real match condition."""
+    opaque UDF, so we stage it ourselves.
+
+    Returns None when blanking would be UNSOUND: a condition where a
+    string reference sits under `not` is no longer monotone in the masks,
+    so a blanked row could falsely FIRE. (Superset gating only ever turns
+    masks False, which for monotone conditions can only suppress.)"""
     from pyspark.sql import functions as F
 
-    # Literal strings gate via contains() (JVM indexOf — much cheaper than
-    # a backtracking regex alternation over long text); regex strings and
-    # the (short) tool patterns use rlike.
-    text_conds: list = []
-    text_alts: list[str] = []
+    from ..signatures.compile import hex_to_regex, regex_literal, wide_interleave
+    from ..signatures.conditions import condition_negates_strings
+
+    for rule in sigs.yara_rules:
+        if condition_negates_strings(rule.condition_ast):
+            return None
+
+    # Literal ascii forms gate via contains() (JVM indexOf — much cheaper
+    # than a backtracking regex alternation over long text); regex/wide/hex
+    # forms collect into one rlike alternation. fullword is dropped from
+    # the gate (contains is a superset of the word-bounded match).
+    conds: list = []
+    alts: list[str] = []
     for rule in sigs.yara_rules:
         for s in rule.strings:
+            if s.is_hex:
+                alts.append(f"(?s:{hex_to_regex(s.pattern)})")
+                continue
             if s.is_regex:
-                body = f"(?i:{s.pattern})" if s.nocase else f"(?:{s.pattern})"
-                text_alts.append(body)
-            elif s.nocase:
-                text_conds.append(
-                    F.contains(F.lower(F.col("text")), F.lit(s.pattern.lower()))
+                alts.append(
+                    f"(?i:{s.pattern})" if s.nocase else f"(?:{s.pattern})"
                 )
-            else:
-                text_conds.append(F.contains(F.col("text"), F.lit(s.pattern)))
-    if text_alts:
-        text_conds.append(F.col("text").rlike("|".join(text_alts)))
-    tool_alts = [f"(?:{ioc.pattern})" for ioc in sigs.filename_iocs]
+                continue
+            if s.ascii_form:
+                if s.nocase:
+                    conds.append(
+                        F.contains(
+                            F.lower(F.col("text")), F.lit(s.pattern.lower())
+                        )
+                    )
+                else:
+                    conds.append(F.contains(F.col("text"), F.lit(s.pattern)))
+            if s.wide:
+                body = regex_literal(wide_interleave(s.pattern))
+                alts.append(f"(?i:{body})" if s.nocase else f"(?:{body})")
+    if alts:
+        conds.append(F.col("text").rlike("|".join(alts)))
 
-    text_gate = F.lit(False)
-    for cond in text_conds:
-        text_gate = text_gate | cond
-    tool_gate = (
-        F.col("tool").rlike("|".join(tool_alts)) if tool_alts else F.lit(False)
-    )
-    return text_gate, tool_gate
+    gate = F.lit(False)
+    for cond in conds:
+        gate = gate | cond
+    return gate
 
 
 def make_arrow_matcher_udf(spark: SparkSession, sigs: SignatureSet):
@@ -221,12 +330,13 @@ def make_arrow_matcher_udf(spark: SparkSession, sigs: SignatureSet):
 
     @arrow_udf(return_ddl)
     def match_signatures_arrow(
-        it: Iterator[Tuple[pa.Array, pa.Array]],
+        it: Iterator[Tuple[pa.Array, pa.Array, pa.Array]],
     ) -> Iterator[pa.Array]:
         engine = _engine_for(bc.value)
-        for text, tool in it:
+        for text, tool, role in it:
             batch = pa.RecordBatch.from_arrays(
-                [_as_array(text), _as_array(tool)], names=["text", "tool"]
+                [_as_array(text), _as_array(tool), _as_array(role)],
+                names=["text", "tool", "role"],
             )
             fname_arr, yara_arr = match_record_batch(engine, batch)
             yield pa.StructArray.from_arrays(

@@ -35,5 +35,11 @@ def apply_exclusions(df: DataFrame, patterns: Iterable[str]) -> DataFrame:
 def apply_size_filter(df: DataFrame, max_text_chars: int) -> DataFrame:
     """Size cap (F7): the reference drops files larger than
     --max-file-size (64 MB default, src/modules/filesystem_scan.rs:672-685);
-    for turns the scanned content is `text`."""
-    return df.filter(F.length(F.col("text")) <= max_text_chars)
+    for turns the scanned content is `text`. NULL text (a corrupt record)
+    survives the filter: the reference counts unreadable inputs as errors
+    (tests/error_handling_tests/) rather than silently dropping them —
+    scan_counters reports them via its `errors` column and they match
+    nothing downstream."""
+    return df.filter(
+        F.col("text").isNull() | (F.length(F.col("text")) <= max_text_chars)
+    )

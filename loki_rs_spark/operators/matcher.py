@@ -28,7 +28,9 @@ from __future__ import annotations
 import hashlib
 import re
 from dataclasses import dataclass
+from functools import reduce
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
@@ -40,6 +42,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..signatures.compile import capture_regex
+from ..signatures.conditions import (
+    EXTENSION_REGEX,
+    TOOL_TYPE_DEFAULT,
+    TOOL_TYPE_RULES,
+    ExtPred,
+    render_condition,
+)
 from ..signatures.model import SignatureSet, YaraRule
 
 MAX_YARA_MATCHES = 100
@@ -95,8 +105,115 @@ def format_matched_data(value: str) -> str:
 @dataclass
 class _CompiledYaraRule:
     rule: YaraRule
-    patterns: list[tuple[str, re.Pattern]]  # (identifier, compiled)
-    needed: int
+    patterns: list[tuple[str, re.Pattern]]  # (identifier, capture regex)
+    ast: object  # parsed condition (signatures/conditions.py)
+
+
+class PandasExtVars:
+    """The 5 reference scan globals for a pandas batch (see
+    signatures/conditions.py for the turn-table mapping). Columns are
+    derived lazily and cached — a batch with no ext-var rules pays zero."""
+
+    def __init__(self, tool: pd.Series, role: pd.Series) -> None:
+        self._tool = tool
+        self._role = role
+        self._cache: dict[str, pd.Series] = {}
+
+    def col(self, var: str) -> pd.Series:
+        got = self._cache.get(var)
+        if got is not None:
+            return got
+        if var in ("filename", "filepath"):
+            out = self._tool
+        elif var == "owner":
+            out = self._role
+        elif var == "extension":
+            out = self._tool.str.extract(
+                EXTENSION_REGEX.replace("(", "(?P<e>", 1), expand=False
+            ).fillna("")
+        elif var == "filetype":
+            conds, vals = [], []
+            for op, arg, label in TOOL_TYPE_RULES:
+                mask = (
+                    self._tool.str.endswith(arg)
+                    if op == "endswith"
+                    else self._tool.str.startswith(arg)
+                )
+                conds.append(mask.to_numpy())
+                vals.append(label)
+            out = pd.Series(
+                np.select(conds, vals, default=TOOL_TYPE_DEFAULT),
+                index=self._tool.index,
+            )
+        else:  # pragma: no cover - parser restricts vars
+            raise ValueError(f"unknown external var {var}")
+        self._cache[var] = out
+        return out
+
+    def pred(self, p: ExtPred) -> np.ndarray:
+        col = self.col(p.var)
+        v = p.value
+        if p.op == "eq":
+            out = col == v
+        elif p.op == "ne":
+            out = col != v
+        elif p.op == "iequals":
+            out = col.str.lower() == v.lower()
+        elif p.op == "contains":
+            out = col.str.contains(v, regex=False)
+        elif p.op == "icontains":
+            out = col.str.contains(v, case=False, regex=False)
+        elif p.op == "startswith":
+            out = col.str.startswith(v)
+        elif p.op == "istartswith":
+            out = col.str.lower().str.startswith(v.lower())
+        elif p.op == "endswith":
+            out = col.str.endswith(v)
+        elif p.op == "iendswith":
+            out = col.str.lower().str.endswith(v.lower())
+        elif p.op == "matches":
+            out = col.str.contains(v, regex=True)
+        else:  # pragma: no cover - parser restricts ops
+            raise ValueError(f"unknown ext op {p.op}")
+        return np.asarray(out, dtype=bool)
+
+
+class _MaskBackend:
+    """Condition evaluation over numpy boolean masks — fully vectorized:
+    every AST node maps to one array op over the whole batch."""
+
+    def __init__(
+        self,
+        masks: dict[str, np.ndarray],
+        counts: np.ndarray,
+        n_strings: int,
+        ext,
+    ) -> None:
+        self.masks = masks
+        self.counts = counts
+        self.n_strings = n_strings
+        self.ext = ext
+
+    def str_ref(self, ident: str) -> np.ndarray:
+        return self.masks[ident]
+
+    def of_them(self, n: str) -> np.ndarray:
+        needed = (
+            1 if n == "any" else self.n_strings if n == "all" else int(n)
+        )
+        return self.counts >= needed
+
+    def ext_pred(self, p: ExtPred) -> np.ndarray:
+        return self.ext.pred(p)
+
+    def and_(self, items):
+        return reduce(np.logical_and, items)
+
+    def or_(self, items):
+        return reduce(np.logical_or, items)
+
+    def not_(self, x):
+        return ~x
 
 
 class CompiledEngine:
@@ -113,23 +230,21 @@ class CompiledEngine:
         ]
         self.yara: list[_CompiledYaraRule] = []
         for rule in sigs.yara_rules:
-            patterns = []
-            for s in rule.strings:
-                flags = re.IGNORECASE if s.nocase else 0
-                source = s.pattern if s.is_regex else re.escape(s.pattern)
-                patterns.append((s.identifier, re.compile(source, flags)))
-            if rule.condition == "any":
-                needed = 1
-            elif rule.condition == "all":
-                needed = len(patterns)
-            else:
-                needed = int(rule.condition)
-            self.yara.append(_CompiledYaraRule(rule, patterns, needed))
+            patterns = [
+                (s.identifier, capture_regex(s)) for s in rule.strings
+            ]
+            self.yara.append(
+                _CompiledYaraRule(rule, patterns, rule.condition_ast)
+            )
 
-    def match_batch(self, text: pd.Series, tool: pd.Series) -> pd.DataFrame:
+    def match_batch(
+        self, text: pd.Series, tool: pd.Series, role: pd.Series
+    ) -> pd.DataFrame:
         n = len(text)
         text = text.fillna("")
         tool = tool.fillna("")
+        role = role.fillna("")
+        ext = PandasExtVars(tool, role)
         fname_out: list[list[dict]] = [[] for _ in range(n)]
         yara_out: list[list[dict]] = [[] for _ in range(n)]
 
@@ -148,14 +263,28 @@ class CompiledEngine:
                 )
 
         # P5: YARA subset — one vectorized pass per string pattern, then
-        # per-rule mask algebra; offsets only for hit rows.
+        # per-rule condition-AST algebra on the masks; offsets only for
+        # hit rows.
         for compiled in self.yara:
             masks = [
                 text.str.contains(rx, regex=True, na=False).to_numpy()
                 for _, rx in compiled.patterns
             ]
-            counts = sum(m.astype("int32") for m in masks)
-            hits = (counts >= compiled.needed).nonzero()[0]
+            counts = (
+                sum(m.astype("int32") for m in masks)
+                if masks
+                else np.zeros(n, dtype="int32")
+            )
+            backend = _MaskBackend(
+                {ident: m for (ident, _), m in zip(compiled.patterns, masks)},
+                counts,
+                len(compiled.patterns),
+                ext,
+            )
+            fired = render_condition(compiled.ast, backend)
+            if fired is True or fired is False or fired.ndim == 0:
+                fired = np.full(n, bool(fired))
+            hits = fired.nonzero()[0]
             for i in hits:
                 if len(yara_out[i]) >= MAX_YARA_MATCHES:
                     continue
@@ -203,7 +332,9 @@ def make_matcher_udf(spark: SparkSession, sigs: SignatureSet):
     bc = spark.sparkContext.broadcast(sigs.to_payload())
 
     @pandas_udf(MATCH_RESULT_TYPE)
-    def match_signatures(text: pd.Series, tool: pd.Series) -> pd.DataFrame:
-        return _engine_for(bc.value).match_batch(text, tool)
+    def match_signatures(
+        text: pd.Series, tool: pd.Series, role: pd.Series
+    ) -> pd.DataFrame:
+        return _engine_for(bc.value).match_batch(text, tool, role)
 
     return match_signatures

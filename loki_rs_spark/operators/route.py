@@ -23,10 +23,18 @@ def severity_counts(routed: DataFrame) -> DataFrame:
 
 
 def scan_counters(scanned: DataFrame, evaluated: DataFrame) -> DataFrame:
-    """The reference's 5-tuple (scanned, matched, alerts, warnings,
-    notices). `matched` counts only routed rows — below-threshold matches
-    return zeroed counters in the reference (filesystem_scan.rs:948-951)."""
-    scanned_agg = scanned.agg(F.count("*").alias("scanned"))
+    """The reference's counter tuple (scanned, errors, matched, alerts,
+    warnings, notices). `matched` counts only routed rows — below-threshold
+    matches return zeroed counters in the reference
+    (filesystem_scan.rs:948-951). `errors` is the unreadable-input counter
+    (the reference counts permission-denied/corrupted files and emits
+    `error` events, tests/error_handling_tests/): the turn analog is a row
+    whose content column is NULL (unparseable record surviving the source
+    reader)."""
+    scanned_agg = scanned.agg(
+        F.count("*").alias("scanned"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("errors"),
+    )
     eval_agg = evaluated.agg(
         F.count(F.when(F.col("level").isNotNull(), 1)).alias("matched"),
         F.count(F.when(F.col("level") == "ALERT", 1)).alias("alerts"),

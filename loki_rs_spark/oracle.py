@@ -65,23 +65,104 @@ def _fname_condition(ioc) -> str:
     return cond
 
 
+def _yara_string_sql(s) -> str:
+    """One YARA string as a DuckDB boolean. Plain literals use contains();
+    anything modifier-bearing (fullword/wide/hex/regex) uses the RE2
+    rendering from signatures/compile.py (DuckDB's regex engine is RE2,
+    same dialect as the pyarrow kernels)."""
+    from .signatures.compile import boolean_regex, literal_probe
+
+    probe = literal_probe(s)
+    if probe is not None and "\x00" not in probe[0]:
+        needle, nocase = probe
+        if nocase:
+            return f"contains(lower(text), {_q(needle.lower())})"
+        return f"contains(text, {_q(needle)})"
+    return f"regexp_matches(text, {_q(boolean_regex(s, 're2'))})"
+
+
+def _ext_var_sql(var: str) -> str:
+    """Turn-table SQL for the reference's 5 scan globals (mapping in
+    signatures/conditions.py)."""
+    from .signatures.conditions import (
+        EXTENSION_REGEX,
+        TOOL_TYPE_DEFAULT,
+        TOOL_TYPE_RULES,
+    )
+
+    if var in ("filename", "filepath"):
+        return "tool"
+    if var == "owner":
+        return "role"
+    if var == "extension":
+        return f"regexp_extract(tool, {_q(EXTENSION_REGEX)}, 1)"
+    if var == "filetype":
+        whens = []
+        for op, arg, label in TOOL_TYPE_RULES:
+            fn = "ends_with" if op == "endswith" else "starts_with"
+            whens.append(f"WHEN {fn}(tool, {_q(arg)}) THEN {_q(label)}")
+        return "CASE " + " ".join(whens) + f" ELSE {_q(TOOL_TYPE_DEFAULT)} END"
+    raise ValueError(f"unknown external var {var}")  # pragma: no cover
+
+
+class _SqlCondBackend:
+    """YARA condition AST -> DuckDB boolean SQL (the oracle rendering)."""
+
+    def __init__(self, rule) -> None:
+        self.str_conds = {
+            s.identifier: _yara_string_sql(s) for s in rule.strings
+        }
+
+    def str_ref(self, ident: str) -> str:
+        return f"({self.str_conds[ident]})"
+
+    def of_them(self, n: str) -> str:
+        conds = list(self.str_conds.values())
+        if n == "any":
+            return "(" + " OR ".join(conds) + ")"
+        if n == "all":
+            return "(" + " AND ".join(conds) + ")"
+        total = " + ".join(f"CAST({c} AS INTEGER)" for c in conds)
+        return f"(({total}) >= {int(n)})"
+
+    def ext_pred(self, p) -> str:
+        col, v = _ext_var_sql(p.var), p.value
+        if p.op == "eq":
+            return f"({col} = {_q(v)})"
+        if p.op == "ne":
+            return f"({col} <> {_q(v)})"
+        if p.op == "iequals":
+            return f"(lower({col}) = {_q(v.lower())})"
+        if p.op == "contains":
+            return f"contains({col}, {_q(v)})"
+        if p.op == "icontains":
+            return f"contains(lower({col}), {_q(v.lower())})"
+        if p.op == "startswith":
+            return f"starts_with({col}, {_q(v)})"
+        if p.op == "istartswith":
+            return f"starts_with(lower({col}), {_q(v.lower())})"
+        if p.op == "endswith":
+            return f"ends_with({col}, {_q(v)})"
+        if p.op == "iendswith":
+            return f"ends_with(lower({col}), {_q(v.lower())})"
+        if p.op == "matches":
+            return f"regexp_matches({col}, {_q(v)})"
+        raise ValueError(f"unknown ext op {p.op}")  # pragma: no cover
+
+    def and_(self, items):
+        return "(" + " AND ".join(items) + ")"
+
+    def or_(self, items):
+        return "(" + " OR ".join(items) + ")"
+
+    def not_(self, x):
+        return f"(NOT {x})"
+
+
 def _yara_condition(rule) -> str:
-    conds = []
-    for s in rule.strings:
-        if s.is_regex:
-            pat = f"(?i){s.pattern}" if s.nocase else s.pattern
-            conds.append(f"regexp_matches(text, {_q(pat)})")
-        elif s.nocase:
-            conds.append(f"contains(lower(text), {_q(s.pattern.lower())})")
-        else:
-            conds.append(f"contains(text, {_q(s.pattern)})")
-    if rule.condition == "any":
-        return "(" + " OR ".join(conds) + ")"
-    if rule.condition == "all":
-        return "(" + " AND ".join(conds) + ")"
-    needed = int(rule.condition)
-    total = " + ".join(f"CAST({c} AS INTEGER)" for c in conds)
-    return f"(({total}) >= {needed})"
+    from .signatures.conditions import render_condition
+
+    return render_condition(rule.condition_ast, _SqlCondBackend(rule))
 
 
 def _base_reason_cases(sigs: SignatureSet) -> list[str]:
@@ -139,7 +220,7 @@ def _c2_reason_list(sigs: SignatureSet) -> str:
 
 def _scan_filters(sigs: SignatureSet, cfg: ScanConfig) -> tuple[str, str]:
     """(cheap_filters, fp_filter) WHERE fragments."""
-    cheap = [f"length(text) <= {cfg.max_text_chars}"]
+    cheap = [f"(text IS NULL OR length(text) <= {cfg.max_text_chars})"]
     if cfg.exclude_patterns:
         combined = "|".join(f"(?:{p})" for p in cfg.exclude_patterns)
         cheap.append(f"NOT regexp_matches(tool, {_q(combined)})")
@@ -238,8 +319,10 @@ def severity_counts_sql(sigs: SignatureSet, cfg: ScanConfig, rep: int) -> str:
 
 def scan_counters_sql(sigs: SignatureSet, cfg: ScanConfig, rep: int) -> str:
     return f"""WITH {scan_ctes(sigs, cfg, rep)}
-SELECT s.scanned, r.matched, r.alerts, r.warnings, r.notices FROM
-  (SELECT CAST(count(*) AS BIGINT) AS scanned FROM scanned) s,
+SELECT s.scanned, s.errors, r.matched, r.alerts, r.warnings, r.notices FROM
+  (SELECT CAST(count(*) AS BIGINT) AS scanned,
+          CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS errors
+   FROM scanned) s,
   (SELECT CAST(count(*) AS BIGINT) AS matched,
           CAST(count(CASE WHEN level = 'ALERT' THEN 1 END) AS BIGINT) AS alerts,
           CAST(count(CASE WHEN level = 'WARNING' THEN 1 END) AS BIGINT) AS warnings,
@@ -277,6 +360,21 @@ def filename_ioc_hits_sql(sigs: SignatureSet, rep: int) -> str:
         f"SELECT conv_id, turn_idx, tool, {_q(ioc.pattern)} AS pattern, "
         f"{ioc.score} AS score FROM transcripts WHERE {_fname_condition(ioc)}"
         for ioc in sigs.filename_iocs
+    ]
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {cte}\n{union}"
+
+
+def yara_extvar_hits_sql(sigs: SignatureSet, rep: int) -> str:
+    from .queries import EXTVAR_RULE_PREFIXES
+
+    cte = transcripts_duckdb_cte("", rep=rep)
+    selects = [
+        f"SELECT conv_id, turn_idx, tool, {_q(rule.name)} AS rule, "
+        f"{rule.score} AS score FROM transcripts "
+        f"WHERE {_yara_condition(rule)}"
+        for rule in sigs.yara_rules
+        if rule.name.startswith(EXTVAR_RULE_PREFIXES)
     ]
     union = "\nUNION ALL\n".join(selects)
     return f"WITH {cte}\n{union}"
@@ -381,6 +479,8 @@ FROM transcripts"""
 
 
 def ngram_jaccard_pairs_sql(rep: int, threshold: float = 0.5) -> str:
+    from .queries import NGRAM_DF_CAP
+
     cte = transcripts_duckdb_cte("", rep=rep)
     return f"""WITH {cte},
 toks AS (SELECT uid, string_split(text, ' ') AS t FROM transcripts),
@@ -390,7 +490,10 @@ shingled AS (
                    i -> array_to_string(list_slice(t, i, i + 2), ' '))
     ELSE [] END) AS shingles
   FROM toks),
-ex AS (SELECT uid, unnest(shingles) AS s FROM shingled),
+ex_all AS (SELECT uid, unnest(shingles) AS s FROM shingled),
+keep AS (SELECT s FROM ex_all GROUP BY s
+         HAVING count(*) <= {NGRAM_DF_CAP}),
+ex AS (SELECT uid, ex_all.s AS s FROM ex_all JOIN keep ON ex_all.s = keep.s),
 pairs AS (SELECT a.uid AS ua, b.uid AS ub, CAST(count(*) AS BIGINT) AS inter
           FROM ex a JOIN ex b ON a.s = b.s AND a.uid < b.uid
           GROUP BY a.uid, b.uid),
@@ -502,7 +605,68 @@ SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(uid) AS min_uid
 FROM sh GROUP BY simhash HAVING count(*) > 1"""
 
 
-def ann_lsh_topk_sql(k: int = 10) -> str:
+def simhash_pairs_sql(rep: int) -> str:
+    from .queries import (
+        SIMHASH64_BAND_BITS,
+        SIMHASH64_BANDS,
+        SIMHASH64_HAMMING_MAX,
+    )
+
+    cte = transcripts_duckdb_cte("", rep=rep)
+
+    def band_hash_expr(band: int) -> str:
+        nibbles = " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(t), {4 * band + i + 1}, 1)) - 1)"
+            f" * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        return nibbles
+
+    band_cols = []
+    for band in range(SIMHASH64_BANDS):
+        bit_terms = []
+        for b in range(SIMHASH64_BAND_BITS):
+            k = SIMHASH64_BAND_BITS - 1 - b
+            contrib = (
+                f"list_aggregate(list_transform(hs{band},"
+                f" h -> ((h >> {k}) & 1) * 2 - 1), 'sum')"
+            )
+            bit_terms.append(
+                f"(CASE WHEN {contrib} > 0 THEN 1 ELSE 0 END) * {2 ** k}"
+            )
+        band_cols.append(
+            "CAST(" + " + ".join(bit_terms) + f" AS BIGINT) AS b{band}"
+        )
+
+    hashed_cols = ", ".join(
+        f"list_transform(list_distinct(string_split(text, ' ')),"
+        f" t -> {band_hash_expr(band)}) AS hs{band}"
+        for band in range(SIMHASH64_BANDS)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT uid, {', '.join(f'b{j}' for j in range(SIMHASH64_BANDS))}, "
+        f"{i} AS band_idx, b{i} AS band_val FROM sh"
+        for i in range(SIMHASH64_BANDS)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(a.b{i}, b.b{i}))" for i in range(SIMHASH64_BANDS)
+    )
+    return f"""WITH {cte},
+hashed AS (SELECT uid, {hashed_cols} FROM transcripts),
+sh AS (SELECT uid, {', '.join(band_cols)} FROM hashed),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.uid AS uid_a, b.uid AS uid_b,
+         CAST({hamming} AS INTEGER) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.uid < b.uid)
+SELECT uid_a, uid_b, hamming FROM cand
+WHERE hamming <= {SIMHASH64_HAMMING_MAX}"""
+
+
+def _ann_bucket_expr() -> tuple[str, int]:
+    """(bucket SQL over column `d`, n_planes)."""
     from .queries import _ann_planes
 
     planes = _ann_planes()
@@ -516,9 +680,57 @@ def ann_lsh_topk_sql(k: int = 10) -> str:
             f"(CASE WHEN list_dot_product(d, {lit}) > 0 THEN 1 ELSE 0 END)"
             f" * {2 ** shift}"
         )
-    bucket = " + ".join(bucket_terms)
+    return " + ".join(bucket_terms), len(planes)
+
+
+def _ann_base_ctes() -> str:
+    bucket, n_planes = _ann_bucket_expr()
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+  FROM embeddings),
+base AS (
+  SELECT vec_id, d,
+    sqrt(list_aggregate(list_transform(d, x -> x * x), 'sum')) AS nrm,
+    CAST({bucket} AS INTEGER) AS bucket
+  FROM e),
+probes AS (
+  SELECT vec_id, d, nrm, unnest([{probe_list}]) AS probe_bucket FROM base)"""
+
+
+def ann_knn_join_sql(k: int = 3) -> str:
+    return f"""WITH {_ann_base_ctes()},
+cand AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    list_dot_product(a.d, b.d) / (a.nrm * b.nrm) AS cos_raw
+  FROM probes a JOIN base b
+    ON a.probe_bucket = b.bucket AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY vec_id ORDER BY cos_raw DESC, neighbor_id) AS INTEGER)
+    AS rank
+  FROM cand)
+SELECT vec_id, neighbor_id, rank, round(cos_raw, 4) AS cos_sim
+FROM ranked WHERE rank <= {k}"""
+
+
+def embedding_lsh_pairs_sql(threshold: float = 0.45) -> str:
+    return f"""WITH {_ann_base_ctes()}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_dot_product(a.d, b.d) / (a.nrm * b.nrm), 4) AS cos_sim
+FROM probes a JOIN base b
+  ON a.probe_bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.d, b.d) / (a.nrm * b.nrm) >= {threshold}"""
+
+
+def ann_lsh_topk_sql(k: int = 10) -> str:
+    from .queries import _ann_planes
+
+    bucket, _ = _ann_bucket_expr()
     q_bucket = 0
-    for plane in planes:
+    for plane in _ann_planes():
         q_bucket = q_bucket * 2 + (1 if sum(plane) > 0 else 0)
     return f"""WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d

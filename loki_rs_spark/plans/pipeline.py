@@ -113,52 +113,41 @@ def scan_transcripts(
     if matcher in ("arrow", "pandas"):
         from ..operators.arrow_matcher import (
             make_arrow_matcher_udf,
-            match_gate_exprs,
+            text_gate_expr,
         )
 
-        # JVM-side candidate gate: blank non-candidate strings so the
-        # Python bridge only carries rows that can possibly match (see
-        # match_gate_exprs docstring). Blank strings match nothing in the
-        # supported signature subset (no empty-matching patterns).
-        text_gate, tool_gate = match_gate_exprs(sigs)
-        gated_text = F.when(text_gate, F.col("text")).otherwise(F.lit(""))
-        gated_tool = F.when(tool_gate, F.col("tool")).otherwise(F.lit(""))
+        # JVM-side candidate gate: blank non-candidate TEXT so the Python
+        # bridge only carries candidate bytes (text is the heavy column).
+        # `tool` and `role` cross ungated — they are tiny and the external
+        # variables (filename/extension/filetype/owner conditions) need
+        # true values. text_gate_expr returns None when blanking would be
+        # unsound (a condition negates a string reference).
+        text_gate = text_gate_expr(sigs)
+        gated_text = (
+            F.col("text")
+            if text_gate is None
+            else F.when(text_gate, F.col("text")).otherwise(F.lit(""))
+        )
         if matcher == "arrow":
             audf = make_arrow_matcher_udf(spark, sigs)
-            df = df.withColumn("_m", audf(gated_text, gated_tool))
         else:
-            matcher_udf = make_matcher_udf(spark, sigs)
-            df = df.withColumn("_m", matcher_udf(gated_text, gated_tool))
+            audf = make_matcher_udf(spark, sigs)
+        df = df.withColumn(
+            "_m", audf(gated_text, F.col("tool"), F.col("role"))
+        )
         fname_reasons = _fname_reasons_from(F.col("_m.fname"))
         yara_reasons = _yara_reasons_from(F.col("_m.yara"))
     else:
         fname_reasons = filename_reason_array(
             F.col("tool"), list(sigs.filename_iocs)
         )
-        # Catalyst fallback for the YARA subset: per-rule static predicates.
+        # Catalyst fallback for the YARA subset: per-rule static predicates
+        # rendered from the condition AST (external variables included).
         # matched_strings are not captured on this path (no offsets without
         # the UDF); everything else is identical.
         yara_items = []
         for rule in sigs.yara_rules:
-            conds = []
-            for s in rule.strings:
-                pat = s.pattern if s.is_regex else _re_escape_java(s.pattern)
-                c = F.col("text").rlike(f"(?i){pat}" if s.nocase else pat)
-                conds.append(c)
-            if rule.condition == "any":
-                fired = F.lit(False)
-                for c in conds:
-                    fired = fired | c
-            elif rule.condition == "all":
-                fired = F.lit(True)
-                for c in conds:
-                    fired = fired & c
-            else:
-                needed = int(rule.condition)
-                count = sum(
-                    (c.cast("int") for c in conds), F.lit(0)
-                )
-                fired = count >= needed
+            fired = catalyst_rule_condition(rule)
             yara_items.append(
                 F.when(
                     fired,
@@ -262,9 +251,109 @@ def scan_transcripts(
     return ScanResult(scanned=scanned, evaluated=evaluated, routed=routed)
 
 
-def _re_escape_java(literal: str) -> str:
-    """Escape a literal for Java regex (subset that also round-trips via
-    Python re.escape for the characters our corpus uses)."""
-    import re as _re
+class _CatalystCondBackend:
+    """YARA condition AST -> Catalyst Column predicates (the pure-JVM
+    matcher rendering; whole-stage codegen'd). One instance per rule."""
 
-    return _re.escape(literal)
+    def __init__(self, rule) -> None:
+        from ..signatures.compile import boolean_regex
+
+        self.str_cols = {
+            s.identifier: F.col("text").rlike(boolean_regex(s, "lookaround"))
+            for s in rule.strings
+        }
+        self.n_strings = len(rule.strings)
+
+    def str_ref(self, ident: str) -> Column:
+        return self.str_cols[ident]
+
+    def of_them(self, n: str) -> Column:
+        conds = list(self.str_cols.values())
+        if n == "any":
+            fired = F.lit(False)
+            for c in conds:
+                fired = fired | c
+            return fired
+        if n == "all":
+            fired = F.lit(True)
+            for c in conds:
+                fired = fired & c
+            return fired
+        count = sum((c.cast("int") for c in conds), F.lit(0))
+        return count >= int(n)
+
+    def ext_pred(self, p) -> Column:
+        col = _catalyst_ext_var(p.var)
+        v = p.value
+        if p.op == "eq":
+            return col == F.lit(v)
+        if p.op == "ne":
+            return col != F.lit(v)
+        if p.op == "iequals":
+            return F.lower(col) == F.lit(v.lower())
+        if p.op == "contains":
+            return F.contains(col, F.lit(v))
+        if p.op == "icontains":
+            return F.contains(F.lower(col), F.lit(v.lower()))
+        if p.op == "startswith":
+            return col.startswith(v)
+        if p.op == "istartswith":
+            return F.lower(col).startswith(v.lower())
+        if p.op == "endswith":
+            return col.endswith(v)
+        if p.op == "iendswith":
+            return F.lower(col).endswith(v.lower())
+        if p.op == "matches":
+            return col.rlike(p.value)
+        raise ValueError(f"unknown ext op {p.op}")  # pragma: no cover
+
+    def and_(self, items):
+        out = items[0]
+        for x in items[1:]:
+            out = out & x
+        return out
+
+    def or_(self, items):
+        out = items[0]
+        for x in items[1:]:
+            out = out | x
+        return out
+
+    def not_(self, x):
+        return ~x
+
+
+def _catalyst_ext_var(var: str) -> Column:
+    """Turn-table rendering of the reference's scan globals (mapping
+    documented in signatures/conditions.py)."""
+    from ..signatures.conditions import (
+        EXTENSION_REGEX,
+        TOOL_TYPE_DEFAULT,
+        TOOL_TYPE_RULES,
+    )
+
+    if var in ("filename", "filepath"):
+        return F.col("tool")
+    if var == "owner":
+        return F.col("role")
+    if var == "extension":
+        return F.regexp_extract(F.col("tool"), EXTENSION_REGEX, 1)
+    if var == "filetype":
+        out = None
+        for op, arg, label in TOOL_TYPE_RULES:
+            cond = (
+                F.col("tool").endswith(arg)
+                if op == "endswith"
+                else F.col("tool").startswith(arg)
+            )
+            branch = F.when(cond, F.lit(label))
+            out = branch if out is None else out.when(cond, F.lit(label))
+        return out.otherwise(F.lit(TOOL_TYPE_DEFAULT))
+    raise ValueError(f"unknown external var {var}")  # pragma: no cover
+
+
+def catalyst_rule_condition(rule) -> Column:
+    """The fired-predicate for one YARA rule as a Catalyst Column."""
+    from ..signatures.conditions import render_condition
+
+    return render_condition(rule.condition_ast, _CatalystCondBackend(rule))

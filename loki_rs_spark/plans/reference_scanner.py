@@ -15,7 +15,13 @@ from ..config import DEFAULT_CONFIG, ScanConfig
 from ..functions.score import round_half_away, weighted_score
 from ..operators.ioc_join import HOST_PATTERN
 from ..operators.matcher import format_matched_data
-from ..signatures.model import SignatureSet
+from ..signatures.conditions import (
+    TOOL_TYPE_DEFAULT,
+    TOOL_TYPE_RULES,
+    ExtPred,
+    render_condition,
+)
+from ..signatures.model import SignatureSet, YaraString
 
 
 @dataclass
@@ -53,6 +59,149 @@ def _is_ipv4(addr: str) -> bool:
 
 _HOST_RE = re.compile(HOST_PATTERN)
 
+_ALNUM = set("0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
+
+
+def _literal_occurrences(
+    text: str, needle: str, nocase: bool, fullword: bool
+) -> list[tuple[int, str]]:
+    """All non-overlapping occurrences of a literal, left to right —
+    deliberately regex-free (str.find walk + direct neighbor inspection
+    for fullword), so agreement with the Spark matcher's regex rendering
+    is a meaningful cross-check."""
+    hay = text.lower() if nocase else text
+    pin = needle.lower() if nocase else needle
+    out: list[tuple[int, str]] = []
+    pos = 0
+    while True:
+        i = hay.find(pin, pos)
+        if i < 0:
+            return out
+        if fullword:
+            before_ok = i == 0 or text[i - 1] not in _ALNUM
+            after = i + len(needle)
+            after_ok = after >= len(text) or text[after] not in _ALNUM
+            if not (before_ok and after_ok):
+                pos = i + 1
+                continue
+        out.append((i, text[i : i + len(needle)]))
+        pos = i + len(needle)
+
+
+_HEX_TOK = re.compile(r"([0-9A-Fa-f]{2})|(\?\?)|\[(\d+)(?:-(\d+))?\]|\s+")
+
+
+def _hex_regex_own(body: str) -> str:
+    """Independent hex-string -> regex conversion for the oracle side."""
+    out, pos = [], 0
+    while pos < len(body):
+        m = _HEX_TOK.match(body, pos)
+        if m is None:
+            raise ValueError(f"bad hex string {body!r}")
+        pos = m.end()
+        byte, wild, lo, hi = m.groups()
+        if byte is not None:
+            out.append(re.escape(chr(int(byte, 16))))
+        elif wild is not None:
+            out.append(".")
+        elif lo is not None:
+            out.append(f".{{{lo},{hi}}}" if hi else f".{{{lo}}}")
+    return "".join(out)
+
+
+def _string_occurrences(s: YaraString, text: str) -> list[tuple[int, str]]:
+    """(offset, matched_data) list for one YARA string, modifier-aware."""
+    if s.is_hex:
+        rx = re.compile(_hex_regex_own(s.pattern), re.DOTALL)
+        return [(m.start(), m.group(0)) for m in rx.finditer(text)]
+    if s.is_regex:
+        rx = re.compile(s.pattern, re.IGNORECASE if s.nocase else 0)
+        return [(m.start(), m.group(0)) for m in rx.finditer(text)]
+    hits: list[tuple[int, str]] = []
+    if s.ascii_form:
+        hits.extend(
+            _literal_occurrences(text, s.pattern, s.nocase, s.fullword)
+        )
+    if s.wide:
+        wide = "".join(c + "\x00" for c in s.pattern)
+        hits.extend(_literal_occurrences(text, wide, s.nocase, s.fullword))
+    hits.sort(key=lambda h: h[0])
+    return hits
+
+
+def _ext_vars(tool: str, role: str) -> dict[str, str]:
+    """Per-row values of the reference's 5 scan globals (turn mapping in
+    signatures/conditions.py), computed independently of the Spark plan."""
+    dot = tool.rfind(".")
+    ext = tool[dot + 1 :] if dot >= 0 else ""
+    if not ext or any(c in "./\\" for c in ext):
+        ext = ""
+    filetype = TOOL_TYPE_DEFAULT
+    for op, arg, label in TOOL_TYPE_RULES:
+        hit = tool.endswith(arg) if op == "endswith" else tool.startswith(arg)
+        if hit:
+            filetype = label
+            break
+    return {
+        "filename": tool,
+        "filepath": tool,
+        "extension": ext,
+        "filetype": filetype,
+        "owner": role,
+    }
+
+
+class _RowBackend:
+    """Condition AST -> plain Python booleans for one row."""
+
+    def __init__(
+        self, fired: dict[str, bool], n_fired: int, n_strings: int, ext: dict
+    ) -> None:
+        self.fired = fired
+        self.n_fired = n_fired
+        self.n_strings = n_strings
+        self.ext = ext
+
+    def str_ref(self, ident: str) -> bool:
+        return self.fired[ident]
+
+    def of_them(self, n: str) -> bool:
+        needed = 1 if n == "any" else self.n_strings if n == "all" else int(n)
+        return self.n_fired >= needed
+
+    def ext_pred(self, p: ExtPred) -> bool:
+        col, v = self.ext[p.var], p.value
+        if p.op == "eq":
+            return col == v
+        if p.op == "ne":
+            return col != v
+        if p.op == "iequals":
+            return col.lower() == v.lower()
+        if p.op == "contains":
+            return v in col
+        if p.op == "icontains":
+            return v.lower() in col.lower()
+        if p.op == "startswith":
+            return col.startswith(v)
+        if p.op == "istartswith":
+            return col.lower().startswith(v.lower())
+        if p.op == "endswith":
+            return col.endswith(v)
+        if p.op == "iendswith":
+            return col.lower().endswith(v.lower())
+        if p.op == "matches":
+            return re.search(p.value, col) is not None
+        raise ValueError(f"unknown ext op {p.op}")  # pragma: no cover
+
+    def and_(self, items):
+        return all(items)
+
+    def or_(self, items):
+        return any(items)
+
+    def not_(self, x):
+        return not x
+
 
 def scan_turn(
     conv_id: str,
@@ -61,12 +210,15 @@ def scan_turn(
     tool: str,
     sigs: SignatureSet,
     cfg: ScanConfig = DEFAULT_CONFIG,
+    role: str = "user",
 ) -> RoutedRow | None:
     """Returns the routed row, or None if the turn is excluded / FP /
     unmatched / below the notice threshold."""
     for pattern in cfg.exclude_patterns:
         if re.search(pattern, tool):
             return None
+    if text is None:
+        return None  # corrupt record: counted as error, matches nothing
     if len(text) > cfg.max_text_chars:
         return None
 
@@ -111,29 +263,25 @@ def scan_turn(
                 )
                 break  # at most one match per hash type
 
-    # 3. YARA subset, rules in definition order
+    # 3. YARA subset, rules in definition order; condition AST evaluated
+    # per row with external variables (filename/.../owner)
+    ext = _ext_vars(tool, role)
     for rule in sigs.yara_rules:
-        per_string: list[tuple[str, list[re.Match]]] = []
-        fired = 0
+        per_string: list[tuple[str, list[tuple[int, str]]]] = []
+        fired_map: dict[str, bool] = {}
+        n_fired = 0
         for s in rule.strings:
-            flags = re.IGNORECASE if s.nocase else 0
-            rx = re.compile(s.pattern if s.is_regex else re.escape(s.pattern), flags)
-            matches = list(rx.finditer(text))
-            if matches:
-                fired += 1
-            per_string.append((s.identifier, matches))
-        needed = (
-            1
-            if rule.condition == "any"
-            else len(rule.strings)
-            if rule.condition == "all"
-            else int(rule.condition)
-        )
-        if fired >= needed:
+            occurrences = _string_occurrences(s, text)
+            if occurrences:
+                n_fired += 1
+            fired_map[s.identifier] = bool(occurrences)
+            per_string.append((s.identifier, occurrences))
+        backend = _RowBackend(fired_map, n_fired, len(rule.strings), ext)
+        if render_condition(rule.condition_ast, backend):
             matched_strings = [
-                f"{ident}: {format_matched_data(m.group(0))} @ {m.start()}"
-                for ident, matches in per_string
-                for m in matches
+                f"{ident}: {format_matched_data(data)} @ {start}"
+                for ident, occurrences in per_string
+                for start, data in occurrences
             ]
             push(
                 Reason(

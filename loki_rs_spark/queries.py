@@ -162,13 +162,48 @@ def q_filename_ioc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
     matcher = make_matcher_udf(spark, sigs)
     return (
-        df.withColumn("_m", matcher(F.col("text"), F.col("tool")))
+        df.withColumn("_m", matcher(F.col("text"), F.col("tool"), F.col("role")))
         .select("conv_id", "turn_idx", "tool", F.explode("_m.fname").alias("m"))
         .select(
             "conv_id",
             "turn_idx",
             "tool",
             F.col("m.pattern").alias("pattern"),
+            F.col("m.score").alias("score"),
+        )
+    )
+
+
+EXTVAR_RULE_PREFIXES = ("ExtVar_", "Fullword_")
+
+
+def q_yara_extvar_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 external variables + fullword in isolation: the Arrow matcher
+    over raw transcripts, keeping only the rules whose conditions exercise
+    the reference's 5 scan globals (src/main.rs:857-871) or the fullword
+    modifier. Oracle-checked against an independent SQL rendering of the
+    same conditions."""
+    from .operators.arrow_matcher import make_arrow_matcher_udf
+
+    sigs = bundled_signatures()
+    df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    audf = make_arrow_matcher_udf(spark, sigs)
+    rule_names = [
+        r.name
+        for r in sigs.yara_rules
+        if r.name.startswith(EXTVAR_RULE_PREFIXES)
+    ]
+    return (
+        df.withColumn(
+            "_m", audf(F.col("text"), F.col("tool"), F.col("role"))
+        )
+        .select("conv_id", "turn_idx", "tool", F.explode("_m.yara").alias("m"))
+        .filter(F.col("m.rule").isin(rule_names))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "tool",
+            F.col("m.rule").alias("rule"),
             F.col("m.score").alias("score"),
         )
     )
@@ -337,29 +372,36 @@ def q_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-3-gram Jaccard near-dup pairs via a shingle self-join —
-    the classic shuffle-heavy near-dup operator. The shingle explode keys
-    the join so identical/near-identical texts co-locate; AQE handles any
-    hot shingle."""
-    df = load_transcripts(spark, sf_dir, rep=DEDUP_REP)
-    toks = df.select("uid", F.split("text", " ").alias("t"))
-    shingles = toks.select(
-        "uid",
-        F.array_distinct(
-            F.when(
-                F.size("t") >= 3,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 2),
-                    lambda i: F.concat_ws(" ", F.slice("t", i, F.lit(3))),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("shingles"),
-    )
-    sizes = shingles.select(
+# Hot-shingle document-frequency cap: a 3-gram shared by k documents
+# yields k^2 join rows, and on web-scale text one boilerplate shingle can
+# own millions of docs — AQE can split the skewed partition but cannot cap
+# the quadratic row count. Shingles with df > cap carry ~zero Jaccard
+# information (they are stop-shingles), so they are dropped from the JOIN
+# KEYS before the self-join. NOTE the union sizes still count every
+# shingle, so the reported Jaccard is exact whenever all of a pair's
+# shared shingles survive the cap (true for the whole corpus at the
+# current sf: max df << cap — the oracle row proves it).
+NGRAM_DF_CAP = 10_000
+
+
+def ngram_jaccard_pairs_from(
+    shingled: DataFrame, threshold: float = 0.5, df_cap: int = NGRAM_DF_CAP
+) -> DataFrame:
+    """Core of the shingle self-join, over a (uid, shingles array) frame."""
+    sizes = shingled.select(
         "uid", F.size("shingles").cast("long").alias("n")
     )
-    ex = shingles.select("uid", F.explode("shingles").alias("s"))
+    ex = shingled.select("uid", F.explode("shingles").alias("s"))
+    # df cap: aggregate shingle frequency, keep the long tail. The join
+    # back is keyed on the SAME column as the self-join, so the three
+    # joins share one shuffle partitioning (no extra exchange).
+    keep = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("s")
+    )
+    ex = ex.join(keep, "s")
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -373,13 +415,20 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sa, F.col("ua") == F.col("sa.uid"))
         .join(sb, F.col("ub") == F.col("sb.uid"))
-        .filter(jac >= 0.5)
+        .filter(jac >= threshold)
         .select(
             F.col("ua").alias("uid_a"),
             F.col("ub").alias("uid_b"),
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-3-gram Jaccard near-dup pairs via a shingle self-join —
+    the classic shuffle-heavy near-dup operator, with a hot-shingle
+    document-frequency cap guarding the quadratic blowup."""
+    return ngram_jaccard_pairs_from(_shingled(spark, sf_dir))
 
 
 def _shingled(spark: SparkSession, sf_dir: str):
@@ -507,6 +556,109 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH64_BANDS = 4
+SIMHASH64_BAND_BITS = 16
+SIMHASH64_HAMMING_MAX = 3
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit banded SimHash near-dup PAIRS — the scale path next to the
+    exact-equality `simhash_groups` baseline: the 64-bit simhash is split
+    into 4x16-bit bands; Hamming distance <= 3 guarantees at least one
+    band is equal (pigeonhole), so candidates come from 4 band-equality
+    joins (shuffle on (band_idx, band_value) only — never all pairs) and
+    the exact Hamming check runs on candidates only. Token hash for band b
+    comes from md5 nibbles [4b, 4b+4) — the hash both engines implement
+    identically."""
+    df = load_transcripts(spark, sf_dir, rep=DEDUP_REP)
+    toks = F.array_distinct(F.split("text", " "))
+
+    def band_token_hash(band: int):
+        def f(t):  # 16-bit int from md5 hex nibbles [4*band, 4*band+4)
+            h = F.md5(t.cast("binary"))
+            val = F.lit(0)
+            for i in range(4):
+                nib = (
+                    F.instr(
+                        F.lit("0123456789abcdef"),
+                        F.substring(h, 4 * band + i + 1, 1),
+                    )
+                    - 1
+                )
+                val = val * 16 + nib
+            return val
+
+        return f
+
+    def bit_fold(k: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    band_cols = []
+    for band in range(SIMHASH64_BANDS):
+        hs = F.transform(toks, band_token_hash(band))
+        val = F.lit(0)
+        for b in range(SIMHASH64_BAND_BITS):
+            k = SIMHASH64_BAND_BITS - 1 - b
+            contrib = F.aggregate(hs, F.lit(0), bit_fold(k))
+            val = val * 2 + F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0))
+        band_cols.append(val.cast("long").alias(f"b{band}"))
+
+    sh = df.select("uid", *band_cols)
+    bands = sh.select(
+        "uid",
+        *[f"b{i}" for i in range(SIMHASH64_BANDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"b{i}").alias("band_val"),
+                    )
+                    for i in range(SIMHASH64_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "uid",
+        *[f"b{i}" for i in range(SIMHASH64_BANDS)],
+        "band.band_idx",
+        "band.band_val",
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.uid") < F.col("b.uid")),
+        )
+        .select(
+            F.col("a.uid").alias("uid_a"),
+            F.col("b.uid").alias("uid_b"),
+            *[F.col(f"a.b{i}").alias(f"ab{i}") for i in range(SIMHASH64_BANDS)],
+            *[F.col(f"b.b{i}").alias(f"bb{i}") for i in range(SIMHASH64_BANDS)],
+        )
+        .dropDuplicates(["uid_a", "uid_b"])
+    )
+    hamming = sum(
+        (
+            F.bit_count(
+                F.col(f"ab{i}").bitwiseXOR(F.col(f"bb{i}"))
+            )
+            for i in range(SIMHASH64_BANDS)
+        ),
+        F.lit(0),
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= SIMHASH64_HAMMING_MAX)
+        .select("uid_a", "uid_b", "hamming")
+    )
+
+
 ANN_PLANES = 8
 ANN_DIM = 64
 
@@ -556,6 +708,146 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+ANN_KNN_K = 3
+
+
+def _bucketed_embeddings_df(emb: DataFrame):
+    """(vec_id, d, nrm, bucket) with the deterministic hyperplane bucket."""
+    planes = _ann_planes()
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot_with(plane: list[float]):
+        plane_col = F.array(*[F.lit(p) for p in plane])
+        return F.aggregate(
+            F.zip_with(d, plane_col, lambda x, p: x * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.lit(0)
+    for plane in planes:
+        bucket = bucket * 2 + F.when(dot_with(plane) > 0, 1).otherwise(0)
+    nrm = F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x))
+    return emb.select(
+        "vec_id",
+        d.alias("d"),
+        nrm.alias("nrm"),
+        bucket.cast("int").alias("bucket"),
+    )
+
+
+def _bucketed_embeddings(spark: SparkSession, sf_dir: str):
+    return _bucketed_embeddings_df(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
+def _pair_cos() -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(F.col("a.d"), F.col("b.d"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.col("a.nrm") * F.col("b.nrm"))
+
+
+def ann_knn_join_from(emb: DataFrame, k: int = 3) -> DataFrame:
+    """k-NN JOIN core over an (vec_id, embedding) frame: every vector finds
+    its top-k neighbors within its LSH bucket plus all single-bit-flip
+    neighbor buckets (multiprobe). The join shuffles on the bucket id only
+    (9 probe rows per vector, never all pairs); exact cosine + row_number
+    ranking run on candidates only. Recall < 1 by LSH construction and
+    depends on how clustered the data is (near-uniform random vectors are
+    the worst case); the within-probed-buckets ranking is EXACT."""
+    from pyspark.sql import Window
+
+    base = _bucketed_embeddings_df(emb)
+    probes = base.select(
+        "vec_id",
+        "d",
+        "nrm",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(ANN_PLANES)
+                ],
+            )
+        ).alias("probe_bucket"),
+    )
+    a = probes.alias("a")
+    b = base.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.probe_bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        _pair_cos().alias("cos_raw"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos_raw", 4).alias("cos_sim"),
+        )
+    )
+
+
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_knn_join_from(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=ANN_KNN_K
+    )
+
+
+def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the BUCKETED join (the scale path the
+    brute-force `embedding_cosine_pairs` is the exact baseline for):
+    candidates are pairs whose hyperplane buckets differ by <= 1 bit, so
+    the join shuffles on bucket ids only; exact cosine verifies candidates.
+    Recall < 1 by LSH construction — that is the documented trade."""
+    base = _bucketed_embeddings(spark, sf_dir)
+    probes = base.select(
+        "vec_id",
+        "d",
+        "nrm",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(ANN_PLANES)
+                ],
+            )
+        ).alias("probe_bucket"),
+    )
+    a = probes.alias("a")
+    b = base.alias("b")
+    cos = _pair_cos()
+    return (
+        a.join(
+            b,
+            (F.col("a.probe_bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= 0.45)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
     )
 
 
@@ -699,6 +991,7 @@ QUERIES = {
     "rule_match_counts": q_rule_match_counts,
     "hash_ioc_hits": q_hash_ioc_hits,
     "filename_ioc_hits": q_filename_ioc_hits,
+    "yara_extvar_hits": q_yara_extvar_hits,
     "c2_hits": q_c2_hits,
     "per_conv_rollup": q_per_conv_rollup,
     "union_severity_counts": q_union_severity_counts,
@@ -712,9 +1005,12 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_groups": q_simhash_groups,
+    "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_knn_join": q_ann_knn_join,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "tool_type_counts": q_tool_type_counts,
     "events_parsed": q_events_parsed,
     "events_hourly": q_events_hourly,
@@ -738,6 +1034,7 @@ def oracle_queries() -> dict[str, str]:
         "rule_match_counts": o.rule_match_counts_sql(sigs, cfg, rep),
         "hash_ioc_hits": o.hash_ioc_hits_sql(sigs, rep),
         "filename_ioc_hits": o.filename_ioc_hits_sql(sigs, rep),
+        "yara_extvar_hits": o.yara_extvar_hits_sql(sigs, rep),
         "c2_hits": o.c2_hits_sql(sigs, rep),
         "per_conv_rollup": o.per_conv_rollup_sql(sigs, cfg, rep),
         "union_severity_counts": o.union_severity_counts_sql(sigs, cfg, rep),
@@ -751,9 +1048,12 @@ def oracle_queries() -> dict[str, str]:
         "ngram_jaccard_pairs": o.ngram_jaccard_pairs_sql(DEDUP_REP),
         "minhash_lsh_pairs": o.minhash_lsh_pairs_sql(DEDUP_REP),
         "simhash_groups": o.simhash_groups_sql(DEDUP_REP),
+        "simhash_pairs": o.simhash_pairs_sql(DEDUP_REP),
         "ann_cosine_topk": o.ann_cosine_topk_sql(10),
         "ann_lsh_topk": o.ann_lsh_topk_sql(10),
+        "ann_knn_join": o.ann_knn_join_sql(ANN_KNN_K),
         "embedding_cosine_pairs": o.embedding_cosine_pairs_sql(0.45),
+        "embedding_lsh_pairs": o.embedding_lsh_pairs_sql(0.45),
         "tool_type_counts": o.tool_type_counts_sql(rep),
         "events_parsed": o.events_parsed_sql(),
         "events_hourly": o.events_hourly_sql(),

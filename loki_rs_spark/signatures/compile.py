@@ -1,0 +1,161 @@
+"""YARA string compilation: modifiers -> engine-specific regex forms.
+
+The reference compiles full yara-x string modifiers
+(src/modules/filesystem_scan.rs:1002-1136 scans with the compiled rules;
+modifier semantics are yara-x's). Supported subset here, rejected LOUDLY
+otherwise (YaraUnsupportedError):
+
+* ``nocase``    — case-insensitive ((?i) prefix / IGNORECASE);
+* ``fullword``  — match not adjacent to [0-9A-Za-z]. Two renderings with
+  identical boolean semantics: lookaround ``(?<![0-9A-Za-z])..(?![0-9A-Za-z])``
+  for engines that support it (Python re, Java regex), and the CONSUMING
+  ``(?:^|[^0-9A-Za-z])(?:..)(?:$|[^0-9A-Za-z])`` for RE2 (pyarrow, DuckDB),
+  which has no lookaround. For "does it match anywhere" the two are
+  equivalent: any lookaround match extends to a consuming match by taking
+  the adjacent boundary characters, and vice versa;
+* ``wide``      — UTF-16LE interleave: each character followed by NUL
+  (yara-x emulation of 16-bit strings). ``wide ascii`` matches either
+  form. Literal strings only;
+* hex strings   — ``{ 4D 5A ?? 90 [2-8] 00 }``: fixed bytes, ``??``
+  wildcards and ``[n]``/``[n-m]`` jumps, compiled to a (?s) regex. The
+  turn data model scans a TEXT column, so bytes are restricted to ASCII
+  (0x00-0x7F) where char==byte; 0x80+ would need a binary column and is
+  rejected.
+
+All regex output sticks to the syntax intersection of Java regex, RE2 and
+Python ``re`` (hex escapes, simple classes, no backrefs), so the four
+evaluation backends agree by construction.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .conditions import YaraUnsupportedError
+from .model import YaraString
+
+_WORD_CLASS = "[0-9A-Za-z]"
+
+KNOWN_MODIFIERS = ("nocase", "wide", "ascii", "fullword")
+
+
+def regex_literal(s: str) -> str:
+    """Render a literal as a regex that parses identically in Java regex,
+    RE2 and Python re: alphanumerics kept raw, everything else (including
+    NUL from wide interleaving) as a \\xHH / \\uHHHH escape."""
+    out = []
+    for c in s:
+        if c.isalnum() and ord(c) < 128:
+            out.append(c)
+        elif ord(c) < 256:
+            out.append(f"\\x{ord(c):02x}")
+        else:
+            out.append(f"\\u{ord(c):04x}")
+    return "".join(out)
+
+
+def wide_interleave(s: str) -> str:
+    """UTF-16LE emulation for ASCII text: every char followed by NUL."""
+    return "".join(c + "\x00" for c in s)
+
+
+_HEX_TOKEN = re.compile(r"([0-9A-Fa-f]{2})|(\?\?)|\[(\d+)(?:-(\d+))?\]|\s+")
+
+
+def hex_to_regex(body: str, context: str = "") -> str:
+    """Compile a hex-string body (inside the braces) to a regex core."""
+    pos = 0
+    out: list[str] = []
+    while pos < len(body):
+        m = _HEX_TOKEN.match(body, pos)
+        if m is None:
+            raise YaraUnsupportedError(
+                f"unsupported hex-string token at {body[pos:pos + 12]!r}"
+                f"{context}"
+            )
+        pos = m.end()
+        byte, wild, jump_lo, jump_hi = m.groups()
+        if byte is not None:
+            value = int(byte, 16)
+            if value >= 0x80:
+                raise YaraUnsupportedError(
+                    f"hex byte {byte} >= 0x80 cannot match a text column"
+                    f"{context}"
+                )
+            out.append(f"\\x{value:02x}")
+        elif wild is not None:
+            out.append(".")
+        elif jump_lo is not None:
+            if jump_hi is not None:
+                out.append(f".{{{int(jump_lo)},{int(jump_hi)}}}")
+            else:
+                out.append(f".{{{int(jump_lo)}}}")
+    if not out:
+        raise YaraUnsupportedError(f"empty hex string{context}")
+    return "".join(out)
+
+
+def validate_string(s: YaraString) -> None:
+    """Reject modifier combinations outside the supported subset."""
+    ctx = f" (string {s.identifier})"
+    if s.is_hex:
+        if s.nocase or s.wide or s.fullword:
+            raise YaraUnsupportedError(f"hex strings take no modifiers{ctx}")
+        hex_to_regex(s.pattern, ctx)
+        return
+    if s.wide and s.is_regex:
+        raise YaraUnsupportedError(f"'wide' on regex strings{ctx}")
+    if s.wide and s.fullword:
+        raise YaraUnsupportedError(f"'wide fullword' combination{ctx}")
+
+
+def _core_forms(s: YaraString) -> list[str]:
+    """Regex core(s) before fullword wrapping / flags: one entry per
+    encoding form (ascii and/or wide)."""
+    if s.is_hex:
+        return [hex_to_regex(s.pattern, f" (string {s.identifier})")]
+    if s.is_regex:
+        return [f"(?:{s.pattern})"]
+    forms = []
+    if s.ascii_form:
+        forms.append(regex_literal(s.pattern))
+    if s.wide:
+        forms.append(regex_literal(wide_interleave(s.pattern)))
+    return forms
+
+
+def boolean_regex(s: YaraString, engine: str) -> str:
+    """The full match-anywhere regex for one string under `engine`:
+    'lookaround' (Python re / Java regex) or 're2' (pyarrow / DuckDB)."""
+    validate_string(s)
+    cores = _core_forms(s)
+    core = cores[0] if len(cores) == 1 else "(?:" + "|".join(cores) + ")"
+    if s.fullword:
+        if engine == "re2":
+            core = f"(?:^|[^0-9A-Za-z])(?:{core})(?:$|[^0-9A-Za-z])"
+        else:
+            core = f"(?<!{_WORD_CLASS})(?:{core})(?!{_WORD_CLASS})"
+    # one combined global-flags group (Python re requires global flags at
+    # position 0, and only one group there)
+    flag_chars = ("i" if s.nocase else "") + ("s" if s.is_hex else "")
+    return (f"(?{flag_chars})" if flag_chars else "") + core
+
+
+def capture_regex(s: YaraString) -> re.Pattern:
+    """Compiled Python regex for matched-string offset extraction (the
+    lookaround form, so the captured data excludes boundary chars just as
+    yara-x reports it)."""
+    return re.compile(boolean_regex(s, "lookaround"))
+
+
+def literal_probe(s: YaraString) -> tuple[str, bool] | None:
+    """If the string reduces to plain substring search, return
+    (needle, ignore_case) for the fast literal kernels; else None.
+    Multi-form (wide+ascii) and fullword strings need the regex path."""
+    if s.is_hex or s.is_regex or s.fullword:
+        return None
+    if s.wide and s.ascii_form:
+        return None
+    if s.wide:
+        return wide_interleave(s.pattern), s.nocase
+    return s.pattern, s.nocase

@@ -1,0 +1,305 @@
+"""YARA condition expressions with external variables.
+
+The reference compiles full yara-x and defines 5 external globals —
+``filename, filepath, extension, filetype, owner`` — available in rule
+conditions (src/main.rs:857-871 defines them at compile time,
+src/modules/filesystem_scan.rs:1017-1032 sets them per row). This module
+parses the declarative condition subset into a tiny AST and provides ONE
+generic renderer that four independent evaluation backends plug into:
+
+* numpy/pyarrow masks  (operators/matcher.py, operators/arrow_matcher.py)
+* Catalyst Columns      (plans/pipeline.py, 'catalyst' matcher)
+* DuckDB SQL strings    (oracle.py)
+* per-row Python        (plans/reference_scanner.py)
+
+Turn-table analogs of the reference's per-file globals (the transcript
+data model has no filesystem):
+
+    filename  -> tool            (the turn's tool plays the filename role,
+                                  exactly as in the J3 filename-IOC join)
+    filepath  -> tool            (reference passes the display path; for
+                                  turns path and name are the same field)
+    extension -> extension of tool, WITHOUT the dot (reference passes
+                 Path::extension(), e.g. "exe" — filesystem_scan.rs:688-696)
+    filetype  -> coarse tool classification (EXECUTABLE/BINARY/DEBUG/
+                 GENERIC/OTHER), the analog of the reference's uppercased
+                 magic-format name (filesystem_scan.rs:737)
+    owner     -> role            (the reference sets owner="" at scan time;
+                 the turn's role is the natural ownership analog)
+
+Grammar (a strict subset of yara-x conditions; anything outside it raises
+YaraUnsupportedError at parse time rather than silently misfiring):
+
+    expr     := and_expr ('or' and_expr)*
+    and_expr := not_expr ('and' not_expr)*
+    not_expr := 'not' not_expr | primary
+    primary  := '(' expr ')' | of_term | ext_pred | STR_ID
+    of_term  := ('any' | 'all' | INT) 'of' 'them'
+    ext_pred := VAR OP ( STRING | REGEX )
+    VAR      := filename | filepath | extension | filetype | owner
+    OP       := '==' | '!=' | contains | icontains | startswith |
+                istartswith | endswith | iendswith | iequals | matches
+
+Bare ``any`` / ``all`` / INT (no 'of them') are accepted as sugar for the
+corresponding of-term, for compatibility with pre-parsed rule sets.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import lru_cache
+
+EXT_VARS = ("filename", "filepath", "extension", "filetype", "owner")
+
+# extension: substring after the last '.' of the final path segment
+# (Path::extension analog); empty string when there is none.
+EXTENSION_REGEX = r"\.([^./\\]+)$"
+
+# filetype classification, first match wins, ELSE 'OTHER' — the single
+# source of truth shared by every backend and by the tool_type_counts
+# query (P2 analog of the reference's magic-format name).
+TOOL_TYPE_RULES: tuple[tuple[str, str, str], ...] = (
+    ("endswith", ".exe", "EXECUTABLE"),
+    ("endswith", ".bin", "BINARY"),
+    ("startswith", "debug-", "DEBUG"),
+    ("startswith", "tool-", "GENERIC"),
+)
+TOOL_TYPE_DEFAULT = "OTHER"
+
+
+class YaraUnsupportedError(ValueError):
+    """Raised on any condition/string construct outside the supported
+    subset — loud rejection instead of a silent wrong answer."""
+
+
+# ------------------------------------------------------------------- AST
+
+
+@dataclass(frozen=True)
+class OfThem:
+    n: str  # 'any' | 'all' | decimal int as str
+
+
+@dataclass(frozen=True)
+class StrRef:
+    identifier: str  # includes the leading '$'
+
+
+@dataclass(frozen=True)
+class ExtPred:
+    var: str  # one of EXT_VARS
+    op: str  # eq|ne|contains|icontains|startswith|istartswith|
+    #          endswith|iendswith|iequals|matches
+    value: str  # literal text; for 'matches', a regex ALREADY carrying
+    #             any inline (?i)/(?s) flags at position 0
+
+
+@dataclass(frozen=True)
+class Not:
+    operand: object
+
+
+@dataclass(frozen=True)
+class AndExpr:
+    items: tuple
+
+
+@dataclass(frozen=True)
+class OrExpr:
+    items: tuple
+
+
+_OPS = {
+    "==": "eq",
+    "!=": "ne",
+    "contains": "contains",
+    "icontains": "icontains",
+    "startswith": "startswith",
+    "istartswith": "istartswith",
+    "endswith": "endswith",
+    "iendswith": "iendswith",
+    "iequals": "iequals",
+    "matches": "matches",
+}
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<str_id>\$[A-Za-z0-9_]*)
+      | (?P<string>"(?:[^"\\]|\\.)*")
+      | (?P<regex>/(?:[^/\\]|\\.)+/[is]*)
+      | (?P<cmp>==|!=)
+      | (?P<lpar>\()
+      | (?P<rpar>\))
+      | (?P<int>\d+)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return (
+        body.replace('\\"', '"')
+        .replace("\\\\", "\\")
+        .replace("\\n", "\n")
+        .replace("\\t", "\t")
+        .replace("\\r", "\r")
+    )
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None or m.end() == pos:
+            rest = text[pos:].strip()
+            if not rest:
+                break
+            raise YaraUnsupportedError(
+                f"unsupported condition syntax at: {rest[:40]!r}"
+            )
+        pos = m.end()
+        kind = m.lastgroup
+        if kind is not None:
+            tokens.append((kind, m.group(kind)))
+    return tokens
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.tokens = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.tokens[self.i] if self.i < len(self.tokens) else None
+
+    def next(self) -> tuple[str, str]:
+        tok = self.peek()
+        if tok is None:
+            raise YaraUnsupportedError("unexpected end of condition")
+        self.i += 1
+        return tok
+
+    def parse(self):
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise YaraUnsupportedError(
+                f"trailing tokens in condition: {self.tokens[self.i:]}"
+            )
+        return node
+
+    def or_expr(self):
+        items = [self.and_expr()]
+        while self.peek() == ("word", "or"):
+            self.next()
+            items.append(self.and_expr())
+        return items[0] if len(items) == 1 else OrExpr(tuple(items))
+
+    def and_expr(self):
+        items = [self.not_expr()]
+        while self.peek() == ("word", "and"):
+            self.next()
+            items.append(self.not_expr())
+        return items[0] if len(items) == 1 else AndExpr(tuple(items))
+
+    def not_expr(self):
+        if self.peek() == ("word", "not"):
+            self.next()
+            return Not(self.not_expr())
+        return self.primary()
+
+    def primary(self):
+        kind, val = self.next()
+        if kind == "lpar":
+            node = self.or_expr()
+            if self.next()[0] != "rpar":
+                raise YaraUnsupportedError("unbalanced parenthesis")
+            return node
+        if kind == "str_id":
+            return StrRef(val)
+        if kind == "int" or (kind == "word" and val in ("any", "all")):
+            # of-term: 'N of them' / bare 'N' sugar
+            if self.peek() == ("word", "of"):
+                self.next()
+                k2, v2 = self.next()
+                if (k2, v2) != ("word", "them"):
+                    raise YaraUnsupportedError(
+                        f"only 'of them' is supported, got 'of {v2}'"
+                    )
+            return OfThem(val)
+        if kind == "word" and val in EXT_VARS:
+            op_kind, op_val = self.next()
+            op = _OPS.get(op_val)
+            if op is None:
+                raise YaraUnsupportedError(
+                    f"unsupported operator {op_val!r} on external var {val}"
+                )
+            v_kind, v_val = self.next()
+            if op == "matches":
+                if v_kind != "regex":
+                    raise YaraUnsupportedError(
+                        f"'matches' needs a /regex/, got {v_val!r}"
+                    )
+                body, _, flags = v_val.rpartition("/")
+                body = body[1:].replace("\\/", "/")
+                prefix = "".join(f"(?{f})" for f in flags)
+                return ExtPred(val, "matches", prefix + body)
+            if v_kind != "string":
+                raise YaraUnsupportedError(
+                    f"external-var comparison needs a string, got {v_val!r}"
+                )
+            return ExtPred(val, op, _unquote(v_val))
+        raise YaraUnsupportedError(f"unsupported condition token: {val!r}")
+
+
+@lru_cache(maxsize=512)
+def parse_condition(text: str):
+    """Parse a condition string into the AST. Raises YaraUnsupportedError
+    on anything outside the supported subset."""
+    return _Parser(_tokenize(text)).parse()
+
+
+def condition_uses_strings(node) -> bool:
+    if isinstance(node, (OfThem, StrRef)):
+        return True
+    if isinstance(node, Not):
+        return condition_uses_strings(node.operand)
+    if isinstance(node, (AndExpr, OrExpr)):
+        return any(condition_uses_strings(x) for x in node.items)
+    return False
+
+
+def condition_negates_strings(node, neg: bool = False) -> bool:
+    """True if any string reference (StrRef/OfThem) appears under an odd
+    number of `not`s. Such a condition is NOT monotone in the string
+    masks, so the pipeline's blank-non-candidate-text gate (which can only
+    turn masks False) would be unsound and must be disabled."""
+    if isinstance(node, (OfThem, StrRef)):
+        return neg
+    if isinstance(node, Not):
+        return condition_negates_strings(node.operand, not neg)
+    if isinstance(node, (AndExpr, OrExpr)):
+        return any(condition_negates_strings(x, neg) for x in node.items)
+    return False
+
+
+def render_condition(node, backend):
+    """Generic renderer: `backend` supplies str_ref/of_them/ext_pred atom
+    builders and and_/or_/not_ combiners in whatever value domain it wants
+    (numpy masks, Catalyst Columns, SQL strings, Python bools)."""
+    if isinstance(node, OrExpr):
+        return backend.or_([render_condition(x, backend) for x in node.items])
+    if isinstance(node, AndExpr):
+        return backend.and_([render_condition(x, backend) for x in node.items])
+    if isinstance(node, Not):
+        return backend.not_(render_condition(node.operand, backend))
+    if isinstance(node, OfThem):
+        return backend.of_them(node.n)
+    if isinstance(node, StrRef):
+        return backend.str_ref(node.identifier)
+    if isinstance(node, ExtPred):
+        return backend.ext_pred(node)
+    raise YaraUnsupportedError(f"unknown AST node: {node!r}")

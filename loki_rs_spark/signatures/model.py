@@ -43,9 +43,13 @@ class C2IOC:
 @dataclass(frozen=True)
 class YaraString:
     identifier: str  # includes the leading '$'
-    pattern: str  # literal text or regex body
+    pattern: str  # literal text, regex body, or hex-string body
     is_regex: bool = False
     nocase: bool = False
+    fullword: bool = False  # not adjacent to [0-9A-Za-z]
+    wide: bool = False  # UTF-16LE interleave form
+    ascii_form: bool = True  # plain form included (False for bare `wide`)
+    is_hex: bool = False  # pattern is a { .. } hex-string body
 
 
 @dataclass(frozen=True)
@@ -56,7 +60,14 @@ class YaraRule:
     author: str
     reference: str
     strings: tuple[YaraString, ...]
-    condition: str  # 'any' | 'all' | an int rendered as str (N of them)
+    condition: str  # raw condition text (see signatures/conditions.py
+    #                 grammar); bare 'any'/'all'/N accepted as of-term sugar
+
+    @property
+    def condition_ast(self):
+        from .conditions import parse_condition
+
+        return parse_condition(self.condition)
 
 
 @dataclass(frozen=True)

@@ -28,6 +28,12 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
+from .compile import validate_string
+from .conditions import (
+    YaraUnsupportedError,
+    condition_uses_strings,
+    parse_condition,
+)
 from .model import C2IOC, FilenameIOC, HashIOC, SignatureSet, YaraRule, YaraString
 
 DEFAULT_SCORE = 75
@@ -162,10 +168,10 @@ _RULE_RE = re.compile(
 )
 _META_RE = re.compile(r"(?P<key>\w+)\s*=\s*(?P<val>\"(?:[^\"\\]|\\.)*\"|\d+)")
 _STRING_RE = re.compile(
-    r"(?P<id>\$\w*)\s*=\s*(?P<val>\"(?:[^\"\\]|\\.)*\"|/(?:[^/\\]|\\.)+/)"
+    r"(?P<id>\$\w*)\s*=\s*"
+    r"(?P<val>\"(?:[^\"\\]|\\.)*\"|/(?:[^/\\]|\\.)+/|\{[^}]*\})"
     r"(?P<mods>[^\n]*)"
 )
-_COND_RE = re.compile(r"(?P<n>any|all|\d+)\s+of\s+them")
 
 
 def _unquote(s: str) -> str:
@@ -181,6 +187,7 @@ def _unquote(s: str) -> str:
 
 def parse_yara_rules(text: str) -> list[YaraRule]:
     rules: list[YaraRule] = []
+    text = _strip_comments(text)  # 'rule' inside a comment must not parse
     for m in _RULE_RE.finditer(text):
         body = m.group("body")
         sections: dict[str, str] = {}
@@ -208,26 +215,41 @@ def parse_yara_rules(text: str) -> list[YaraRule]:
             elif key == "reference" and val.startswith('"'):
                 reference = _unquote(val)
 
+        rule_name = m.group("name")
         strings: list[YaraString] = []
         for sm in _STRING_RE.finditer(sections.get("strings", "")):
             raw = sm.group("val")
-            mods = sm.group("mods")
+            mods = _parse_modifiers(sm.group("mods"), rule_name, sm.group("id"))
             if raw.startswith('"'):
-                strings.append(
-                    YaraString(sm.group("id"), _unquote(raw), False, "nocase" in mods)
+                s = YaraString(sm.group("id"), _unquote(raw), False, **mods)
+            elif raw.startswith("/"):
+                s = YaraString(sm.group("id"), raw[1:-1], True, **mods)
+            else:  # { hex string }
+                s = YaraString(
+                    sm.group("id"), raw[1:-1].strip(), False, is_hex=True, **mods
                 )
-            else:
-                strings.append(
-                    YaraString(sm.group("id"), raw[1:-1], True, "nocase" in mods)
-                )
+            validate_string(s)  # loud rejection of unsupported combos
+            strings.append(s)
 
-        cond_match = _COND_RE.search(sections.get("condition", ""))
-        condition = cond_match.group("n") if cond_match else "any"
-        if not strings:
-            continue
+        condition = _strip_comments(sections.get("condition", "")).strip()
+        if not condition:
+            condition = "any of them" if strings else ""
+        if not condition:
+            raise YaraUnsupportedError(
+                f"rule {rule_name}: empty condition and no strings"
+            )
+        try:
+            ast = parse_condition(condition)
+        except YaraUnsupportedError as e:
+            raise YaraUnsupportedError(f"rule {rule_name}: {e}") from e
+        if condition_uses_strings(ast) and not strings:
+            raise YaraUnsupportedError(
+                f"rule {rule_name}: condition references strings but the "
+                "rule defines none"
+            )
         rules.append(
             YaraRule(
-                name=m.group("name"),
+                name=rule_name,
                 score=score,
                 description=description,
                 author=author,
@@ -237,6 +259,52 @@ def parse_yara_rules(text: str) -> list[YaraRule]:
             )
         )
     return rules
+
+
+def _strip_comments(text: str) -> str:
+    """Strip // line comments, quote-aware (a // inside a "..." string
+    literal or /regex/ body is NOT a comment)."""
+    out_lines = []
+    for line in text.splitlines():
+        in_str: str | None = None
+        i = 0
+        cut = len(line)
+        while i < len(line):
+            c = line[i]
+            if in_str:
+                if c == "\\":
+                    i += 2
+                    continue
+                if c == in_str:
+                    in_str = None
+            elif c == '"':
+                in_str = '"'
+            elif c == "/" and line[i : i + 2] == "//":
+                cut = i
+                break
+            i += 1
+        out_lines.append(line[:cut])
+    return "\n".join(out_lines)
+
+
+def _parse_modifiers(raw: str, rule: str, ident: str) -> dict:
+    """Parse the modifier tail of a string definition. Unknown modifiers
+    RAISE (the reference compiles full yara-x, so silently dropping a
+    modifier here would silently change match semantics)."""
+    tokens = _strip_comments(raw).split()
+    out = {"nocase": False, "fullword": False, "wide": False}
+    explicit_ascii = False
+    for tok in tokens:
+        if tok == "ascii":
+            explicit_ascii = True
+        elif tok in ("nocase", "fullword", "wide"):
+            out[tok] = True
+        else:
+            raise YaraUnsupportedError(
+                f"rule {rule}, string {ident}: unsupported modifier {tok!r}"
+            )
+    out["ascii_form"] = explicit_ascii or not out["wide"]
+    return out
 
 
 def load_signature_set(base_dir: str | Path) -> SignatureSet:

@@ -42,6 +42,89 @@ def write_jsonl(routed: DataFrame, path: str, hostname: str = "spark") -> None:
     routed_to_jsonl_df(routed, hostname).write.mode("overwrite").text(path)
 
 
+def scan_bracket_events(
+    spark: SparkSession,
+    counters: dict,
+    hostname: str = "spark",
+    version: str = "0.2.0",
+    started_iso: str = "1970-01-01T00:00:00+00:00",
+    ended_iso: str = "1970-01-01T00:00:00+00:00",
+    duration_sec: float = 0.0,
+    context: dict[str, str] | None = None,
+) -> DataFrame:
+    """scan_start / scan_end bracketing events with the reference's field
+    shape (src/helpers/unified_logger.rs:706-735; LogEvent context map at
+    :97-98): INFO level, event_type scan_start/scan_end, message formats
+    "Loki-RS scan started VERSION: {v}" and "Loki-RS scan finished.
+    {summary}. {duration}". The `context` map serializes only when
+    non-empty (serde skip_serializing_if analog via ignoreNullFields)."""
+    ctx = context or {}
+    summary = (
+        "Summary - Turns scanned: {scanned} Matched: {matched} | "
+        "Alerts: {alerts} Warnings: {warnings} Notices: {notices}"
+    ).format(**{k: counters.get(k, 0) for k in
+                ("scanned", "matched", "alerts", "warnings", "notices")})
+    rows = [
+        (
+            started_iso,
+            "scan_start",
+            f"Loki-RS scan started VERSION: {version}",
+        ),
+        (
+            ended_iso,
+            "scan_end",
+            f"Loki-RS scan finished. {summary}. "
+            f"Duration: {duration_sec:.1f}s",
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows, "timestamp string, event_type string, message string"
+    )
+    ctx_col = (
+        F.create_map(
+            *[F.lit(x) for kv in sorted(ctx.items()) for x in kv]
+        )
+        if ctx
+        else F.lit(None).cast("map<string,string>")
+    )
+    event = F.struct(
+        F.col("timestamp"),
+        F.lit("INFO").alias("level"),
+        F.col("event_type"),
+        F.lit(hostname).alias("hostname"),
+        F.col("message"),
+        ctx_col.alias("context"),
+    )
+    return df.select(
+        F.to_json(event, {"ignoreNullFields": "true"}).alias("value")
+    )
+
+
+def write_jsonl_scan(
+    spark: SparkSession,
+    routed: DataFrame,
+    path: str,
+    counters: dict,
+    hostname: str = "spark",
+    **bracket_kwargs,
+) -> None:
+    """The full reference-shaped JSONL stream: scan_start bracket, one
+    turn_match line per routed row, scan_end bracket — one sink write."""
+    brackets = scan_bracket_events(
+        spark, counters, hostname=hostname, **bracket_kwargs
+    ).cache()
+    start = brackets.filter(F.col("value").contains('"scan_start"'))
+    end = brackets.filter(F.col("value").contains('"scan_end"'))
+    match_lines = routed_to_jsonl_df(routed, hostname)
+    (
+        start.unionByName(match_lines)
+        .unionByName(end)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
 def combined_report_aggregates(
     spark: SparkSession, paths: list[str]
 ) -> DataFrame:

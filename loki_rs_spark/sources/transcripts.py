@@ -49,6 +49,10 @@ TEXT_RULES: tuple[tuple[int, int, str, str], ...] = (
     (127, 83, "append", " resolve sub.evil-c2.example.com fast"),
     (127, 29, "append", " fetch from cdn.badcdn.net path /x"),
     (127, 97, "append", " see docs at good.example.org today"),
+    # fullword probes: the first is word-bounded (matches `fwprobe`
+    # fullword), the second embeds it inside a longer token (must NOT)
+    (109, 41, "append", " calls fwprobe directly"),
+    (109, 87, "append", " prefixfwprobe9 blocked"),
 )
 
 # (modulus, residue, tool value); default tool is 'tool-' || uid % 7.

@@ -132,7 +132,7 @@ rule Default_Score {
     assert [r.name for r in rules] == ["Demo_One", "Default_Score"]
     one = rules[0]
     assert one.score == 90 and one.description == "demo rule"
-    assert one.condition == "all"
+    assert one.condition == "all of them"
     assert one.strings[0].pattern == "netcat" and not one.strings[0].is_regex
     assert one.strings[1].is_regex and one.strings[1].nocase
     assert rules[1].score == 75  # default when meta.score absent
@@ -154,5 +154,11 @@ def test_bundled_corpus_loads():
         "EICAR_Test_Payload",
         "Netcat_Shell",
         "Meterpreter_Indicator",
+        "ExtVar_Exe_Netcat",
+        "ExtVar_Mimikatz_Name",
+        "Fullword_Probe",
     ]
     assert sigs.yara_rules[2].score == 75
+    # ext-var conditions parse to ASTs and a stringless rule is legal
+    assert sigs.yara_rules[4].strings == ()
+    assert sigs.yara_rules[5].strings[0].fullword

@@ -31,7 +31,8 @@ def expected_rows(spark, transcripts, sigs):
     rows = {}
     for r in transcripts.collect():
         routed = scan_turn(
-            r["conv_id"], r["turn_idx"], r["text"], r["tool"], sigs, CFG
+            r["conv_id"], r["turn_idx"], r["text"], r["tool"], sigs, CFG,
+            role=r["role"],
         )
         if routed is not None:
             rows[(routed.conv_id, routed.turn_idx)] = routed

@@ -98,7 +98,8 @@ def test_scale_corpus_correctness(spark, big_sigs):
     expected = {}
     for r in transcripts.collect():
         routed = scan_turn(
-            r["conv_id"], r["turn_idx"], r["text"], r["tool"], big_sigs, CFG
+            r["conv_id"], r["turn_idx"], r["text"], r["tool"], big_sigs, CFG,
+            role=r["role"],
         )
         if routed is not None:
             expected[(routed.conv_id, routed.turn_idx)] = (

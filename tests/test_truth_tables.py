@@ -209,6 +209,231 @@ def test_reason_discovery_order(spark):
     assert got == ["File", "HASH", "YARA", "C2"]
 
 
+# ---- YARA string modifiers: fullword / wide / hex ------------------------
+
+
+def _yara_sigs(strings, condition="any of them", score=80):
+    return _sigs(
+        yara_rules=[YaraRule("R", score, "", "", "", tuple(strings), condition)]
+    )
+
+
+FULLWORD_SIGS = _yara_sigs([YaraString("$a", "acrobat", fullword=True)])
+FULLWORD_NOCASE_SIGS = _yara_sigs(
+    [YaraString("$a", "acrobat", nocase=True, fullword=True)]
+)
+
+
+@pytest.mark.parametrize(
+    "text,hit",
+    [
+        ("run acrobat now", True),
+        ("acrobat", True),  # string boundaries count as word boundaries
+        ("acrobatreader here", False),
+        ("an xacrobat here", False),
+        ("see acrobat9 here", False),
+        ("see (acrobat) here", True),  # punctuation is a boundary
+        ("see ACROBAT here", False),  # fullword alone stays case-sensitive
+    ],
+)
+def test_fullword_truth_table(spark, text, hit):
+    ref = scan_turn("c0", 0, text, "tool-x", FULLWORD_SIGS, CFG)
+    assert (ref is not None) == hit
+    routed = _routed_levels(spark, [(text, "tool-x")], FULLWORD_SIGS)
+    assert (0 in routed) == hit
+
+
+def test_fullword_nocase(spark):
+    text = "see ACROBAT here"
+    assert scan_turn("c0", 0, text, "t", FULLWORD_NOCASE_SIGS, CFG) is not None
+    routed = _routed_levels(spark, [(text, "t")], FULLWORD_NOCASE_SIGS)
+    assert 0 in routed
+
+
+WIDE_SIGS = _yara_sigs([YaraString("$w", "cmd", wide=True, ascii_form=False)])
+WIDE_ASCII_SIGS = _yara_sigs([YaraString("$w", "cmd", wide=True, ascii_form=True)])
+
+
+@pytest.mark.parametrize(
+    "text,wide_hit,both_hit",
+    [
+        ("run c\x00m\x00d\x00 now", True, True),  # UTF-16LE interleave
+        ("run cmd now", False, True),  # plain form: only `wide ascii`
+        ("run cxmxd now", False, False),
+    ],
+)
+def test_wide_truth_table(spark, text, wide_hit, both_hit):
+    assert (scan_turn("c0", 0, text, "t", WIDE_SIGS, CFG) is not None) == wide_hit
+    assert (
+        scan_turn("c0", 0, text, "t", WIDE_ASCII_SIGS, CFG) is not None
+    ) == both_hit
+    routed_w = _routed_levels(spark, [(text, "t")], WIDE_SIGS)
+    routed_b = _routed_levels(spark, [(text, "t")], WIDE_ASCII_SIGS)
+    assert (0 in routed_w) == wide_hit
+    assert (0 in routed_b) == both_hit
+
+
+HEX_SIGS = _yara_sigs([YaraString("$h", "41 42 ?? 44", is_hex=True)])
+HEX_JUMP_SIGS = _yara_sigs([YaraString("$h", "41 [1-2] 44", is_hex=True)])
+
+
+@pytest.mark.parametrize(
+    "sigs,text,hit",
+    [
+        (HEX_SIGS, "xx ABCD yy", True),
+        (HEX_SIGS, "xx AB\nD yy", True),  # ?? spans newline ((?s))
+        (HEX_SIGS, "xx ABD yy", False),
+        (HEX_JUMP_SIGS, "xx AxD yy", True),
+        (HEX_JUMP_SIGS, "xx AxyD yy", True),
+        (HEX_JUMP_SIGS, "xx AD yy", False),
+        (HEX_JUMP_SIGS, "xx AxyzD yy", False),
+    ],
+)
+def test_hex_string_truth_table(spark, sigs, text, hit):
+    ref = scan_turn("c0", 0, text, "tool-x", sigs, CFG)
+    assert (ref is not None) == hit
+    routed = _routed_levels(spark, [(text, "tool-x")], sigs)
+    assert (0 in routed) == hit
+
+
+# ---- external variables (filename/filepath/extension/filetype/owner) -----
+
+
+def _turn_df_roles(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (f"c{i}", i, role, text, tool)
+            for i, (text, tool, role) in enumerate(rows)
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    return df.withColumn("ts", F.lit("2026-01-01").cast("timestamp"))
+
+
+EXTVAR_SIGS = _sigs(
+    yara_rules=[
+        YaraRule(
+            "ExeNetcat", 80, "", "", "",
+            (YaraString("$nc", "netcat"),),
+            '$nc and extension == "exe"',
+        ),
+        YaraRule(
+            "ToolRoleMimi", 80, "", "", "",
+            (),
+            'filename contains "mimikatz" and owner == "tool"',
+        ),
+        YaraRule(
+            "PathMatch", 80, "", "", "",
+            (),
+            "filepath matches /^c:/ and filetype iequals \"executable\"",
+        ),
+    ]
+)
+
+
+@pytest.mark.parametrize(
+    "text,tool,role,expected_rules",
+    [
+        ("ran netcat", "/tmp/nc.exe", "user", ["ExeNetcat"]),
+        ("ran netcat", "/tmp/nc.bin", "user", []),  # extension != exe
+        ("clean", "/tmp/nc.exe", "user", []),  # no $nc
+        ("clean", "c:/x/mimikatz.exe", "tool", ["ToolRoleMimi", "PathMatch"]),
+        ("clean", "c:/x/mimikatz.exe", "user", ["PathMatch"]),  # owner
+        ("clean", "c:/x/other.bin", "tool", []),  # BINARY != executable
+    ],
+)
+def test_extvar_truth_table(spark, text, tool, role, expected_rules):
+    ref = scan_turn("c0", 0, text, tool, EXTVAR_SIGS, CFG, role=role)
+    got_ref = (
+        [r.message.split("rule ")[1] for r in ref.reasons] if ref else []
+    )
+    assert got_ref == expected_rules
+    for matcher in ("arrow", "pandas", "catalyst"):
+        result = scan_transcripts(
+            spark,
+            _turn_df_roles(spark, [(text, tool, role)]),
+            EXTVAR_SIGS,
+            CFG,
+            matcher=matcher,
+        )
+        rows = result.routed.collect()
+        got = (
+            [m["message"].split("rule ")[1] for m in rows[0]["reasons"]]
+            if rows
+            else []
+        )
+        assert got == expected_rules, f"matcher={matcher}"
+
+
+NEGATED_SIGS = _sigs(
+    yara_rules=[
+        YaraRule(
+            "NotNetcat", 80, "", "", "",
+            (YaraString("$nc", "netcat"),),
+            'not $nc and filename contains "probe"',
+        )
+    ]
+)
+
+
+def test_negated_condition_disables_text_gate(spark):
+    """A `not $str` condition is non-monotone in the masks, so the
+    blank-non-candidate-text gate must be OFF (text_gate_expr -> None) and
+    the pipeline must still answer correctly."""
+    from loki_rs_spark.operators.arrow_matcher import text_gate_expr
+
+    assert text_gate_expr(NEGATED_SIGS) is None
+    rows = [
+        ("clean text", "probe-tool", "user"),  # fires: no netcat, name hits
+        ("ran netcat", "probe-tool", "user"),  # suppressed by not $nc
+        ("clean text", "other", "user"),  # name miss
+    ]
+    for matcher in ("arrow", "pandas", "catalyst"):
+        result = scan_transcripts(
+            spark, _turn_df_roles(spark, rows), NEGATED_SIGS, CFG,
+            matcher=matcher,
+        )
+        got = sorted(r["turn_idx"] for r in result.routed.collect())
+        assert got == [0], f"matcher={matcher}"
+    ref_hits = [
+        i
+        for i, (text, tool, role) in enumerate(rows)
+        if scan_turn("c0", i, text, tool, NEGATED_SIGS, CFG, role=role)
+    ]
+    assert ref_hits == [0]
+
+
+# ---- strict rejection of unsupported constructs ---------------------------
+
+
+def test_unsupported_yara_constructs_raise():
+    from loki_rs_spark.signatures.conditions import YaraUnsupportedError
+    from loki_rs_spark.signatures.parsers import parse_yara_rules
+
+    def rule(strings: str, condition: str) -> str:
+        return (
+            "rule R {\n  strings:\n    " + strings
+            + "\n  condition:\n    " + condition + "\n}"
+        )
+
+    with pytest.raises(YaraUnsupportedError):  # unknown modifier
+        parse_yara_rules(rule('$a = "x" xor', "any of them"))
+    with pytest.raises(YaraUnsupportedError):  # wide on regex
+        parse_yara_rules(rule("$a = /ab+/ wide", "any of them"))
+    with pytest.raises(YaraUnsupportedError):  # wide fullword combo
+        parse_yara_rules(rule('$a = "x" wide fullword', "any of them"))
+    with pytest.raises(YaraUnsupportedError):  # hex byte >= 0x80
+        parse_yara_rules(rule("$a = { 4D 5A 90 }", "any of them"))
+    with pytest.raises(YaraUnsupportedError):  # unsupported condition fn
+        parse_yara_rules(rule('$a = "x"', "uint16(0) == 0x5a4d"))
+    with pytest.raises(YaraUnsupportedError):  # of ($set*) unsupported
+        parse_yara_rules(rule('$a = "x"', "any of ($a*)"))
+    with pytest.raises(YaraUnsupportedError):  # strings referenced, none defined
+        parse_yara_rules("rule R {\n  condition:\n    any of them\n}")
+
+
 # ---- below-threshold drop + max_reasons slice ----------------------------
 
 
