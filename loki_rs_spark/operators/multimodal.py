@@ -46,38 +46,67 @@ def decode_image_stub(blob: bytes, deterministic_fake: bool = False) -> np.ndarr
     return (vec / norm if norm else vec).astype(np.float32)
 
 
+FEATURE_RAW_SCHEMA = (
+    "media_id bigint, kind string, n_bytes int, feature array<bigint>"
+)
+
+
+def feature_basis_u32(blob: bytes) -> list[int]:
+    """The exact-integer basis of the fake feature: 8 little-endian uint32
+    words of sha256(blob). Integer-exact, so the DuckDB oracle can compute
+    it bit-identically (the normalized float form cannot be reproduced
+    bit-exactly in SQL: numpy's norm uses pairwise summation)."""
+    import struct
+
+    digest = hashlib.sha256(blob).digest()
+    return list(struct.unpack("<8I", digest[: FEATURE_DIM * 4]))
+
+
 def extract_features(
-    media: DataFrame, deterministic_fake: bool = True
+    media: DataFrame, deterministic_fake: bool = True, raw_u32: bool = False
 ) -> DataFrame:
     """mapInPandas featurization: one pandas batch of blobs per call, one
     fixed-dim feature vector per blob. Partitioning passes through — at
     scale, repartition upstream so blob batches fit executor memory
-    (binary columns dominate `spark.sql.files.maxPartitionBytes` math)."""
+    (binary columns dominate `spark.sql.files.maxPartitionBytes` math).
+    With raw_u32, emits the exact-integer feature basis instead of the
+    normalized float vector (the oracle-checkable form)."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode_image_stub(b, deterministic_fake=deterministic_fake)
-                for b in pdf["content"]
-            ]
+            if raw_u32:
+                feats = [feature_basis_u32(b) for b in pdf["content"]]
+            else:
+                feats = [
+                    decode_image_stub(
+                        b, deterministic_fake=deterministic_fake
+                    ).tolist()
+                    for b in pdf["content"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["content"].str.len().astype("int32"),
-                    "feature": [f.tolist() for f in feats],
+                    "feature": feats,
                 }
             )
 
-    return media.mapInPandas(featurize, FEATURE_SCHEMA)
+    return media.mapInPandas(
+        featurize, FEATURE_RAW_SCHEMA if raw_u32 else FEATURE_SCHEMA
+    )
 
 
 def synthetic_media(spark, sf_dir: str, limit: int = 64) -> DataFrame:
     """Deterministic fake media table: blob = utf-8 bytes of document text
-    (an opaque byte payload as far as the pipeline is concerned)."""
+    (an opaque byte payload as far as the pipeline is concerned). Selected
+    by doc_id predicate, NOT .limit(): limit over a multi-split scan picks
+    arbitrary rows, a predicate is deterministic at any scale."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(limit)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < limit
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("image"))

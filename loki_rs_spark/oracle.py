@@ -388,6 +388,37 @@ hits AS (SELECT conv_id, turn_idx, unnest({c2}) AS r FROM transcripts)
 SELECT conv_id, turn_idx, r.msg AS message, r.score AS score FROM hits"""
 
 
+def archive_child_matches_sql(
+    sigs: SignatureSet, cfg: ScanConfig, rep: int
+) -> str:
+    from .operators.attachments import ATTACH_PATTERN
+
+    pat = _q(ATTACH_PATTERN)
+    base = transcripts_duckdb_cte("", rep=rep)
+    children_cte = f"""{base},
+att AS (
+  SELECT conv_id, turn_idx, role, ts, uid, tool AS parent_tool,
+    unnest(regexp_extract_all(text, {pat}, 1)) AS name,
+    unnest(regexp_extract_all(text, {pat}, 2)) AS payload
+  FROM transcripts),
+children AS (
+  SELECT conv_id, turn_idx, role, ts, uid,
+    payload AS text, parent_tool || '->' || name AS tool
+  FROM att)"""
+    chain = scan_ctes(
+        sigs,
+        cfg,
+        rep,
+        source_cte=children_cte,
+        source_table="children",
+        prefix="ch_",
+    )
+    return f"""WITH {chain}
+SELECT conv_id, turn_idx, tool, md5(text) AS md5, score, level, n_reasons,
+  reasons[1].msg AS reason1_msg
+FROM ch_routed"""
+
+
 def per_conv_rollup_sql(sigs: SignatureSet, cfg: ScanConfig, rep: int) -> str:
     return f"""WITH {scan_ctes(sigs, cfg, rep)}
 SELECT conv_id,
@@ -770,6 +801,31 @@ SELECT CASE WHEN ends_with(tool, '.exe') THEN 'EXECUTABLE'
             ELSE 'OTHER' END AS tool_type,
   CAST(count(*) AS BIGINT) AS n
 FROM transcripts GROUP BY 1"""
+
+
+def media_features_sql(limit: int = 64) -> str:
+    """Independent SQL rendering of the fake featurizer: 8 little-endian
+    uint32 words of sha256(utf-8 text bytes), from hex nibbles."""
+
+    def nib(p: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+
+    words = []
+    for i in range(8):
+        byte_terms = []
+        for j in range(4):
+            k = 4 * i + j  # byte index in the digest
+            byte_expr = f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
+            byte_terms.append(f"CAST({byte_expr} AS BIGINT) * {256 ** j}")
+        words.append("(" + " + ".join(byte_terms) + ")")
+    feature = "[" + ", ".join(words) + "]"
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+    CAST(strlen(text) AS INTEGER) AS n_bytes,
+    sha256(text) AS h
+  FROM documents WHERE doc_id < {limit})
+SELECT media_id, kind, n_bytes, {feature} AS feature FROM m"""
 
 
 def events_parsed_sql() -> str:

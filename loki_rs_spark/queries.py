@@ -224,6 +224,30 @@ def q_c2_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_archive_child_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 nested-payload explode, end to end: fenced attachments inside
+    `text` become child turns with parent->entry display lineage
+    (operators/attachments.py) and route through the SAME scan pipeline —
+    the reference's archive-member scan shape
+    (src/modules/filesystem_scan.rs:744-785)."""
+    from .operators.attachments import explode_attachments
+
+    df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    children = explode_attachments(df).drop("parent_md5")
+    routed = scan_transcripts(spark, children, bundled_signatures()).routed
+    r1 = F.get(F.col("all_reasons"), 0)
+    return routed.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "md5",
+        "score",
+        "level",
+        "n_reasons",
+        r1["message"].alias("reason1_msg"),
+    )
+
+
 def q_per_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage SALTED rollup (explicit skew handling) — proven equal to
     the direct rollup by the oracle."""
@@ -897,6 +921,18 @@ def q_tool_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal featurization through the REAL mapInPandas plumbing
+    (binary column in, fixed-dim vector out) emitting the exact-integer
+    u32 feature basis so the DuckDB oracle can verify it bit-exactly. The
+    normalized-float variant of the same operator is covered by pytest
+    (tests/test_streaming_multimodal.py)."""
+    from .operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, sf_dir, limit=64)
+    return extract_features(media, raw_u32=True)
+
+
 def q_events_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The grok/JSON parse stage over the events stream table."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -993,6 +1029,7 @@ QUERIES = {
     "filename_ioc_hits": q_filename_ioc_hits,
     "yara_extvar_hits": q_yara_extvar_hits,
     "c2_hits": q_c2_hits,
+    "archive_child_matches": q_archive_child_matches,
     "per_conv_rollup": q_per_conv_rollup,
     "union_severity_counts": q_union_severity_counts,
     "conv_running": q_conv_running,
@@ -1012,6 +1049,7 @@ QUERIES = {
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "tool_type_counts": q_tool_type_counts,
+    "media_features": q_media_features,
     "events_parsed": q_events_parsed,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -1036,6 +1074,7 @@ def oracle_queries() -> dict[str, str]:
         "filename_ioc_hits": o.filename_ioc_hits_sql(sigs, rep),
         "yara_extvar_hits": o.yara_extvar_hits_sql(sigs, rep),
         "c2_hits": o.c2_hits_sql(sigs, rep),
+        "archive_child_matches": o.archive_child_matches_sql(sigs, cfg, rep),
         "per_conv_rollup": o.per_conv_rollup_sql(sigs, cfg, rep),
         "union_severity_counts": o.union_severity_counts_sql(sigs, cfg, rep),
         "conv_running": o.conv_running_sql(sigs, cfg, rep),
@@ -1055,6 +1094,7 @@ def oracle_queries() -> dict[str, str]:
         "embedding_cosine_pairs": o.embedding_cosine_pairs_sql(0.45),
         "embedding_lsh_pairs": o.embedding_lsh_pairs_sql(0.45),
         "tool_type_counts": o.tool_type_counts_sql(rep),
+        "media_features": o.media_features_sql(64),
         "events_parsed": o.events_parsed_sql(),
         "events_hourly": o.events_hourly_sql(),
         "events_sessions": o.events_sessions_sql(),

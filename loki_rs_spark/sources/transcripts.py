@@ -53,6 +53,13 @@ TEXT_RULES: tuple[tuple[int, int, str, str], ...] = (
     # fullword), the second embeds it inside a longer token (must NOT)
     (109, 41, "append", " calls fwprobe directly"),
     (109, 87, "append", " prefixfwprobe9 blocked"),
+    # embedded sub-documents (S3 nested-payload explode): fenced
+    # attachments whose payloads route through the same scan pipeline as
+    # child turns with parent->entry display lineage
+    (113, 31, "append",
+     " <<attach:inner_tool.exe>>EICAR-TEST-PAYLOAD-ALPHA<<end>>"),
+    (113, 67, "append",
+     " <<attach:nested.bin>>beacon to evil-c2.example.com now<<end>>"),
 )
 
 # (modulus, residue, tool value); default tool is 'tool-' || uid % 7.

@@ -66,6 +66,38 @@ def test_simhash_pairs_contains_exact_dups(spark):
     assert all(a < b for a, b in keys)
 
 
+def test_explode_attachments_lineage(spark):
+    """S3 explode: child rows carry parent identity + parent hash, display
+    path concatenates parent->entry, parents without attachments vanish."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from loki_rs_spark.operators.attachments import explode_attachments
+
+    parent_text = (
+        "intro <<attach:a.exe>>PAYLOAD-ONE<<end>> middle "
+        "<<attach:b.bin>>PAYLOAD-TWO<<end>> tail"
+    )
+    df = spark.createDataFrame(
+        [
+            ("c0", 0, "user", parent_text, "tool-x"),
+            ("c0", 1, "user", "no attachments here", "tool-y"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.lit("2026-01-01").cast("timestamp"))
+    kids = explode_attachments(df).collect()
+    assert len(kids) == 2  # the attachment-free parent produced nothing
+    by_tool = {r["tool"]: r for r in sorted(kids, key=lambda r: r["tool"])}
+    assert set(by_tool) == {"tool-x->a.exe", "tool-x->b.bin"}
+    assert by_tool["tool-x->a.exe"]["text"] == "PAYLOAD-ONE"
+    assert by_tool["tool-x->b.bin"]["text"] == "PAYLOAD-TWO"
+    expected_md5 = hashlib.md5(parent_text.encode()).hexdigest()
+    for r in kids:
+        assert r["conv_id"] == "c0" and r["turn_idx"] == 0
+        assert r["parent_md5"] == expected_md5
+
+
 def _brute_top1(vecs: dict[int, list[float]]) -> dict[int, int]:
     import math
 
