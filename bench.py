@@ -53,27 +53,62 @@ def _busy_cores(interval: float = 0.5) -> float:
     return os.cpu_count() * (1 - idle / total)
 
 
+def _cpu_speed() -> float:
+    """Single-thread hash throughput probe (MB/s of sha256). The sandbox
+    host is time-shared: raw guest CPU speed was observed to swing 6x
+    between measurement windows with ZERO guest load (hypervisor noisy
+    neighbors). /proc/stat cannot see that, so throughput claims must be
+    gated on — and annotated with — an absolute speed probe."""
+    import hashlib
+
+    block = b"\xab" * (1 << 20)
+    # warm-up + best of 3 (each ~32 MB of hashing)
+    best = 0.0
+    for _ in range(3):
+        started = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(32):
+            h.update(block)
+        h.digest()
+        rate = 32 / (time.perf_counter() - started)
+        best = max(best, rate)
+    return best
+
+
+# canonical single-thread probe on a healthy window of this box; runs at
+# < DEGRADED_FRACTION of this are flagged (and waited out, budget allowing)
+CANONICAL_CPU_MBS = 1400.0
+DEGRADED_FRACTION = 0.6
+
 _IDLE_WAIT_BUDGET = [300.0]  # total seconds of idle-waiting across the run
 
 
-def _wait_for_idle(max_busy: float = 3.0, max_wait: float = 120.0) -> None:
+def _wait_for_idle(max_busy: float = 3.0, max_wait: float = 120.0) -> float:
     """Scaling-efficiency numbers are meaningless if something else owns
     the cores (a concurrent pytest run dropped measured 2->8 efficiency
-    from 0.88 to 0.70). Wait, bounded per-call AND by a shared total
-    budget, for the box to go quiet; proceed with a warning if it never
-    does."""
+    from 0.88 to 0.70), or if the HOST is degraded (hypervisor neighbors:
+    observed 6x single-thread slowdown with an idle guest). Wait, bounded
+    per-call AND by a shared total budget, for quiet + healthy; proceed
+    with a warning if it never happens. Returns the last probe (MB/s)."""
     deadline = time.time() + min(max_wait, _IDLE_WAIT_BUDGET[0])
     started = time.time()
+    speed = 0.0
     try:
         while time.time() < deadline:
             busy = _busy_cores()
-            if busy <= max_busy:
-                return
-            print(f"  box busy ({busy:.1f} cores), waiting...",
-                  file=sys.stderr)
-            time.sleep(5)
-        print("  WARNING: box never went idle; measuring anyway",
+            speed = _cpu_speed()
+            if busy <= max_busy and speed >= DEGRADED_FRACTION * CANONICAL_CPU_MBS:
+                return speed
+            print(
+                f"  box busy ({busy:.1f} cores) or slow "
+                f"({speed:.0f} MB/s vs {CANONICAL_CPU_MBS:.0f} canonical), "
+                "waiting...",
+                file=sys.stderr,
+            )
+            time.sleep(10)
+        print("  WARNING: box never went idle+healthy; measuring anyway",
               file=sys.stderr)
+        return speed
     finally:
         _IDLE_WAIT_BUDGET[0] = max(0.0, _IDLE_WAIT_BUDGET[0]
                                    - (time.time() - started))
@@ -186,8 +221,9 @@ def _best_scan(master: str, attempts: int = 1,
     once thr/baseline_thr reaches the target ratio."""
     best: dict = {}
     for i in range(attempts):
-        _wait_for_idle()
+        probe = _wait_for_idle()
         r = _run_scan_subprocess(master)
+        r["cpu_probe_mbs"] = round(probe, 1)
         print(f"  {master} attempt {i + 1}: {r}", file=sys.stderr)
         if not best or r["elapsed"] < best["elapsed"]:
             best = r
@@ -243,6 +279,16 @@ def main() -> None:
         # bridge saturation point; 8->32 shares one bus and one loopback.
         "scaling_efficiency_2_to_8": round(eff_2_8, 3),
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+        # host-health context: single-thread sha256 MB/s measured right
+        # before each level's best attempt. The sandbox host is
+        # time-shared; values well under canonical mean the throughput
+        # (not the correctness) of this run was hypervisor-throttled.
+        "cpu_probe_canonical_mbs": CANONICAL_CPU_MBS,
+        "cpu_probe_mbs": {
+            "local2": r2.get("cpu_probe_mbs"),
+            "local8": r8.get("cpu_probe_mbs"),
+            f"local{CPUS}": r32.get("cpu_probe_mbs"),
+        },
     }
     print(json.dumps(result))
 

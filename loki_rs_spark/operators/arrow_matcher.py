@@ -32,16 +32,11 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 
 from ..signatures.compile import boolean_regex, literal_probe
-from ..signatures.conditions import (
-    EXTENSION_REGEX,
-    TOOL_TYPE_DEFAULT,
-    TOOL_TYPE_RULES,
-    ExtPred,
-    render_condition,
-)
+from ..signatures.conditions import render_condition
 from ..signatures.model import SignatureSet
 from .matcher import (
     MAX_YARA_MATCHES,
+    ExtBits,
     _engine_for,
     _MaskBackend,
     format_matched_data,
@@ -90,70 +85,6 @@ def _string_mask(arr, s) -> np.ndarray:
     return _mask(arr, boolean_regex(s, "re2"), regex=True)
 
 
-class ArrowExtVars:
-    """The 5 reference scan globals over pyarrow arrays (turn-table
-    mapping in signatures/conditions.py); lazy + cached per batch."""
-
-    def __init__(self, tool: pa.Array, role: pa.Array) -> None:
-        self._tool = tool
-        self._role = role
-        self._cache: dict[str, pa.Array] = {}
-
-    def col(self, var: str):
-        got = self._cache.get(var)
-        if got is not None:
-            return got
-        if var in ("filename", "filepath"):
-            out = self._tool
-        elif var == "owner":
-            out = self._role
-        elif var == "extension":
-            ext_re = EXTENSION_REGEX.replace("(", "(?P<e>", 1)
-            struct = pc.extract_regex(self._tool, ext_re)
-            out = pc.fill_null(pc.struct_field(struct, "e"), "")
-        elif var == "filetype":
-            out = pa.array([TOOL_TYPE_DEFAULT] * len(self._tool))
-            # reverse order: earlier rules win
-            for op, arg, label in reversed(TOOL_TYPE_RULES):
-                mask = (
-                    pc.ends_with(self._tool, arg)
-                    if op == "endswith"
-                    else pc.starts_with(self._tool, arg)
-                )
-                out = pc.if_else(mask, label, out)
-        else:  # pragma: no cover - parser restricts vars
-            raise ValueError(f"unknown external var {var}")
-        self._cache[var] = out
-        return out
-
-    def pred(self, p: ExtPred) -> np.ndarray:
-        col = self.col(p.var)
-        v = p.value
-        if p.op == "eq":
-            m = pc.equal(col, v)
-        elif p.op == "ne":
-            m = pc.not_equal(col, v)
-        elif p.op == "iequals":
-            m = pc.equal(pc.utf8_lower(col), v.lower())
-        elif p.op == "contains":
-            m = pc.match_substring(col, v)
-        elif p.op == "icontains":
-            m = pc.match_substring(col, v, ignore_case=True)
-        elif p.op == "startswith":
-            m = pc.starts_with(col, v)
-        elif p.op == "istartswith":
-            m = pc.starts_with(col, v, ignore_case=True)
-        elif p.op == "endswith":
-            m = pc.ends_with(col, v)
-        elif p.op == "iendswith":
-            m = pc.ends_with(col, v, ignore_case=True)
-        elif p.op == "matches":
-            m = pc.match_substring_regex(col, v)
-        else:  # pragma: no cover - parser restricts ops
-            raise ValueError(f"unknown ext op {p.op}")
-        return m.to_numpy(zero_copy_only=False).astype(bool)
-
-
 def _list_struct_array(
     struct_type: pa.StructType, counts: np.ndarray, rows: dict[int, list[dict]]
 ) -> pa.Array:
@@ -169,11 +100,17 @@ def _list_struct_array(
 
 
 def match_record_batch(engine, batch: pa.RecordBatch) -> tuple[pa.Array, pa.Array]:
-    """Match one RecordBatch; returns (_m_fname, _m_yara) list arrays."""
+    """Match one RecordBatch; returns (_m_fname, _m_yara) list arrays.
+    `ext_bits` is the packed external-variable bitmask the pipeline
+    computed JVM-side (conditions.collect_ext_atoms ordering)."""
     text = batch.column("text")
     tool = batch.column("tool")
-    role = batch.column("role")
-    ext = ArrowExtVars(tool, role)
+    bits_np = (
+        batch.column("ext_bits")
+        .to_numpy(zero_copy_only=False)
+        .astype("int64", copy=False)
+    )
+    ext = ExtBits(bits_np, engine.atom_index)
     n = batch.num_rows
 
     # ---- filename IOCs (J3)
@@ -248,32 +185,41 @@ def match_record_batch(engine, batch: pa.RecordBatch) -> tuple[pa.Array, pa.Arra
     return fname_arr, yara_arr
 
 
-def text_gate_expr(sigs: SignatureSet):
-    """Cheap JVM-side candidate gate for the UDF matcher: a superset
+def match_gate_exprs(sigs: SignatureSet):
+    """Cheap JVM-side candidate gates for the UDF matcher: a superset
     predicate over `text` built from every YARA string's cheapest
-    rendering. Rows failing the gate cannot match any text string, so the
-    pipeline blanks their text before the Arrow UDF — the Python bridge
-    then carries only candidate bytes. (`tool` and `role` always cross the
-    bridge UNGATED: they are tiny, and external-variable conditions —
-    filename/filepath/extension/filetype/owner — need true values.)
+    rendering, and one over `tool` from the filename-IOC patterns. Rows
+    failing a gate cannot match any string/IOC on that column, so the
+    pipeline blanks it before the Arrow UDF — the Python bridge then
+    carries only candidate bytes. External-variable conditions never see
+    these columns: they arrive as the JVM-computed `ext_bits` bitmask, so
+    gating cannot distort them.
 
     This is the Spark rendering of the reference's cheap-predicates-before-
     expensive-scan ordering (src/modules/filesystem_scan.rs:590-708), and
     is REQUIRED at scale: Catalyst cannot push selectivity through an
     opaque UDF, so we stage it ourselves.
 
-    Returns None when blanking would be UNSOUND: a condition where a
-    string reference sits under `not` is no longer monotone in the masks,
-    so a blanked row could falsely FIRE. (Superset gating only ever turns
-    masks False, which for monotone conditions can only suppress.)"""
+    Returns (text_gate | None, tool_gate). text_gate is None when blanking
+    text would be UNSOUND: a condition where a string reference sits under
+    `not` is no longer monotone in the masks, so a blanked row could
+    falsely FIRE. (Superset gating only ever turns masks False, which for
+    monotone conditions can only suppress.) The tool gate is always sound:
+    filename-IOC matching is monotone by construction — the fp_regex only
+    SUPPRESSES an existing main-pattern match."""
     from pyspark.sql import functions as F
 
     from ..signatures.compile import hex_to_regex, regex_literal, wide_interleave
     from ..signatures.conditions import condition_negates_strings
 
+    tool_alts = [f"(?:{ioc.pattern})" for ioc in sigs.filename_iocs]
+    tool_gate = (
+        F.col("tool").rlike("|".join(tool_alts)) if tool_alts else F.lit(False)
+    )
+
     for rule in sigs.yara_rules:
         if condition_negates_strings(rule.condition_ast):
-            return None
+            return None, tool_gate
 
     # Literal ascii forms gate via contains() (JVM indexOf — much cheaper
     # than a backtracking regex alternation over long text); regex/wide/hex
@@ -309,7 +255,7 @@ def text_gate_expr(sigs: SignatureSet):
     gate = F.lit(False)
     for cond in conds:
         gate = gate | cond
-    return gate
+    return gate, tool_gate
 
 
 def make_arrow_matcher_udf(spark: SparkSession, sigs: SignatureSet):
@@ -333,10 +279,10 @@ def make_arrow_matcher_udf(spark: SparkSession, sigs: SignatureSet):
         it: Iterator[Tuple[pa.Array, pa.Array, pa.Array]],
     ) -> Iterator[pa.Array]:
         engine = _engine_for(bc.value)
-        for text, tool, role in it:
+        for text, tool, ext_bits in it:
             batch = pa.RecordBatch.from_arrays(
-                [_as_array(text), _as_array(tool), _as_array(role)],
-                names=["text", "tool", "role"],
+                [_as_array(text), _as_array(tool), _as_array(ext_bits)],
+                names=["text", "tool", "ext_bits"],
             )
             fname_arr, yara_arr = match_record_batch(engine, batch)
             yield pa.StructArray.from_arrays(
@@ -359,7 +305,10 @@ def with_matches_arrow(
     every input column through untouched. (Kept for comparison; the
     arrow_udf path above ships less data across the bridge and is the
     pipeline default.)"""
+    from .ext_bits import ext_bits_col
+
     bc = spark.sparkContext.broadcast(sigs.to_payload())
+    df = df.withColumn("ext_bits", ext_bits_col(sigs))
     out_ddl = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
         + [MATCH_COLS_DDL]
@@ -374,4 +323,4 @@ def with_matches_arrow(
                 names=[*batch.schema.names, "_m_fname", "_m_yara"],
             )
 
-    return df.mapInArrow(gen, out_ddl)
+    return df.mapInArrow(gen, out_ddl).drop("ext_bits")

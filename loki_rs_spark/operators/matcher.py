@@ -44,10 +44,8 @@ from pyspark.sql.types import (
 
 from ..signatures.compile import capture_regex
 from ..signatures.conditions import (
-    EXTENSION_REGEX,
-    TOOL_TYPE_DEFAULT,
-    TOOL_TYPE_RULES,
     ExtPred,
+    collect_ext_atoms,
     render_condition,
 )
 from ..signatures.model import SignatureSet, YaraRule
@@ -109,73 +107,23 @@ class _CompiledYaraRule:
     ast: object  # parsed condition (signatures/conditions.py)
 
 
-class PandasExtVars:
-    """The 5 reference scan globals for a pandas batch (see
-    signatures/conditions.py for the turn-table mapping). Columns are
-    derived lazily and cached — a batch with no ext-var rules pays zero."""
+class ExtBits:
+    """External-variable atom truth for a batch, decoded from the packed
+    int64 bitmask the pipeline computes JVM-side (see
+    conditions.collect_ext_atoms): atom i's per-row truth is bit i. The
+    expensive string work (extension extraction, filetype classification,
+    contains/regex on tool/role) thus runs in whole-stage codegen, and the
+    Python bridge carries 8 bytes per row instead of the strings."""
 
-    def __init__(self, tool: pd.Series, role: pd.Series) -> None:
-        self._tool = tool
-        self._role = role
-        self._cache: dict[str, pd.Series] = {}
-
-    def col(self, var: str) -> pd.Series:
-        got = self._cache.get(var)
-        if got is not None:
-            return got
-        if var in ("filename", "filepath"):
-            out = self._tool
-        elif var == "owner":
-            out = self._role
-        elif var == "extension":
-            out = self._tool.str.extract(
-                EXTENSION_REGEX.replace("(", "(?P<e>", 1), expand=False
-            ).fillna("")
-        elif var == "filetype":
-            conds, vals = [], []
-            for op, arg, label in TOOL_TYPE_RULES:
-                mask = (
-                    self._tool.str.endswith(arg)
-                    if op == "endswith"
-                    else self._tool.str.startswith(arg)
-                )
-                conds.append(mask.to_numpy())
-                vals.append(label)
-            out = pd.Series(
-                np.select(conds, vals, default=TOOL_TYPE_DEFAULT),
-                index=self._tool.index,
-            )
-        else:  # pragma: no cover - parser restricts vars
-            raise ValueError(f"unknown external var {var}")
-        self._cache[var] = out
-        return out
+    def __init__(
+        self, bits: np.ndarray, atom_index: dict[ExtPred, int]
+    ) -> None:
+        self.bits = bits
+        self.atom_index = atom_index
 
     def pred(self, p: ExtPred) -> np.ndarray:
-        col = self.col(p.var)
-        v = p.value
-        if p.op == "eq":
-            out = col == v
-        elif p.op == "ne":
-            out = col != v
-        elif p.op == "iequals":
-            out = col.str.lower() == v.lower()
-        elif p.op == "contains":
-            out = col.str.contains(v, regex=False)
-        elif p.op == "icontains":
-            out = col.str.contains(v, case=False, regex=False)
-        elif p.op == "startswith":
-            out = col.str.startswith(v)
-        elif p.op == "istartswith":
-            out = col.str.lower().str.startswith(v.lower())
-        elif p.op == "endswith":
-            out = col.str.endswith(v)
-        elif p.op == "iendswith":
-            out = col.str.lower().str.endswith(v.lower())
-        elif p.op == "matches":
-            out = col.str.contains(v, regex=True)
-        else:  # pragma: no cover - parser restricts ops
-            raise ValueError(f"unknown ext op {p.op}")
-        return np.asarray(out, dtype=bool)
+        idx = self.atom_index[p]
+        return (self.bits >> idx) & 1 == 1
 
 
 class _MaskBackend:
@@ -236,15 +184,19 @@ class CompiledEngine:
             self.yara.append(
                 _CompiledYaraRule(rule, patterns, rule.condition_ast)
             )
+        self.atom_index = {
+            atom: i for i, atom in enumerate(collect_ext_atoms(sigs))
+        }
 
     def match_batch(
-        self, text: pd.Series, tool: pd.Series, role: pd.Series
+        self, text: pd.Series, tool: pd.Series, ext_bits: pd.Series
     ) -> pd.DataFrame:
         n = len(text)
         text = text.fillna("")
         tool = tool.fillna("")
-        role = role.fillna("")
-        ext = PandasExtVars(tool, role)
+        ext = ExtBits(
+            ext_bits.fillna(0).to_numpy(dtype="int64"), self.atom_index
+        )
         fname_out: list[list[dict]] = [[] for _ in range(n)]
         yara_out: list[list[dict]] = [[] for _ in range(n)]
 
@@ -333,8 +285,8 @@ def make_matcher_udf(spark: SparkSession, sigs: SignatureSet):
 
     @pandas_udf(MATCH_RESULT_TYPE)
     def match_signatures(
-        text: pd.Series, tool: pd.Series, role: pd.Series
+        text: pd.Series, tool: pd.Series, ext_bits: pd.Series
     ) -> pd.DataFrame:
-        return _engine_for(bc.value).match_batch(text, tool, role)
+        return _engine_for(bc.value).match_batch(text, tool, ext_bits)
 
     return match_signatures

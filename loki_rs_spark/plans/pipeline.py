@@ -113,27 +113,29 @@ def scan_transcripts(
     if matcher in ("arrow", "pandas"):
         from ..operators.arrow_matcher import (
             make_arrow_matcher_udf,
-            text_gate_expr,
+            match_gate_exprs,
         )
+        from ..operators.ext_bits import ext_bits_col
 
-        # JVM-side candidate gate: blank non-candidate TEXT so the Python
-        # bridge only carries candidate bytes (text is the heavy column).
-        # `tool` and `role` cross ungated — they are tiny and the external
-        # variables (filename/extension/filetype/owner conditions) need
-        # true values. text_gate_expr returns None when blanking would be
-        # unsound (a condition negates a string reference).
-        text_gate = text_gate_expr(sigs)
+        # JVM-side candidate gates: blank non-candidate strings so the
+        # Python bridge only carries candidate bytes (see match_gate_exprs
+        # docstring — text gating auto-disables for non-monotone
+        # conditions). External-variable truth crosses as the packed
+        # `ext_bits` bigint computed here in whole-stage codegen, so
+        # role/extension/filetype never cross the bridge at all.
+        text_gate, tool_gate = match_gate_exprs(sigs)
         gated_text = (
             F.col("text")
             if text_gate is None
             else F.when(text_gate, F.col("text")).otherwise(F.lit(""))
         )
+        gated_tool = F.when(tool_gate, F.col("tool")).otherwise(F.lit(""))
         if matcher == "arrow":
             audf = make_arrow_matcher_udf(spark, sigs)
         else:
             audf = make_matcher_udf(spark, sigs)
         df = df.withColumn(
-            "_m", audf(gated_text, F.col("tool"), F.col("role"))
+            "_m", audf(gated_text, gated_tool, ext_bits_col(sigs))
         )
         fname_reasons = _fname_reasons_from(F.col("_m.fname"))
         yara_reasons = _yara_reasons_from(F.col("_m.yara"))
@@ -283,29 +285,9 @@ class _CatalystCondBackend:
         return count >= int(n)
 
     def ext_pred(self, p) -> Column:
-        col = _catalyst_ext_var(p.var)
-        v = p.value
-        if p.op == "eq":
-            return col == F.lit(v)
-        if p.op == "ne":
-            return col != F.lit(v)
-        if p.op == "iequals":
-            return F.lower(col) == F.lit(v.lower())
-        if p.op == "contains":
-            return F.contains(col, F.lit(v))
-        if p.op == "icontains":
-            return F.contains(F.lower(col), F.lit(v.lower()))
-        if p.op == "startswith":
-            return col.startswith(v)
-        if p.op == "istartswith":
-            return F.lower(col).startswith(v.lower())
-        if p.op == "endswith":
-            return col.endswith(v)
-        if p.op == "iendswith":
-            return F.lower(col).endswith(v.lower())
-        if p.op == "matches":
-            return col.rlike(p.value)
-        raise ValueError(f"unknown ext op {p.op}")  # pragma: no cover
+        from ..operators.ext_bits import catalyst_ext_pred
+
+        return catalyst_ext_pred(p)
 
     def and_(self, items):
         out = items[0]
@@ -321,35 +303,6 @@ class _CatalystCondBackend:
 
     def not_(self, x):
         return ~x
-
-
-def _catalyst_ext_var(var: str) -> Column:
-    """Turn-table rendering of the reference's scan globals (mapping
-    documented in signatures/conditions.py)."""
-    from ..signatures.conditions import (
-        EXTENSION_REGEX,
-        TOOL_TYPE_DEFAULT,
-        TOOL_TYPE_RULES,
-    )
-
-    if var in ("filename", "filepath"):
-        return F.col("tool")
-    if var == "owner":
-        return F.col("role")
-    if var == "extension":
-        return F.regexp_extract(F.col("tool"), EXTENSION_REGEX, 1)
-    if var == "filetype":
-        out = None
-        for op, arg, label in TOOL_TYPE_RULES:
-            cond = (
-                F.col("tool").endswith(arg)
-                if op == "endswith"
-                else F.col("tool").startswith(arg)
-            )
-            branch = F.when(cond, F.lit(label))
-            out = branch if out is None else out.when(cond, F.lit(label))
-        return out.otherwise(F.lit(TOOL_TYPE_DEFAULT))
-    raise ValueError(f"unknown external var {var}")  # pragma: no cover
 
 
 def catalyst_rule_condition(rule) -> Column:

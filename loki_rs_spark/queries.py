@@ -160,9 +160,13 @@ def q_filename_ioc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 through the Arrow matcher UDF (the production path)."""
     sigs = bundled_signatures()
     df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    from .operators.ext_bits import ext_bits_col
+
     matcher = make_matcher_udf(spark, sigs)
     return (
-        df.withColumn("_m", matcher(F.col("text"), F.col("tool"), F.col("role")))
+        df.withColumn(
+            "_m", matcher(F.col("text"), F.col("tool"), ext_bits_col(sigs))
+        )
         .select("conv_id", "turn_idx", "tool", F.explode("_m.fname").alias("m"))
         .select(
             "conv_id",
@@ -184,6 +188,7 @@ def q_yara_extvar_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     modifier. Oracle-checked against an independent SQL rendering of the
     same conditions."""
     from .operators.arrow_matcher import make_arrow_matcher_udf
+    from .operators.ext_bits import ext_bits_col
 
     sigs = bundled_signatures()
     df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
@@ -195,7 +200,7 @@ def q_yara_extvar_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (
         df.withColumn(
-            "_m", audf(F.col("text"), F.col("tool"), F.col("role"))
+            "_m", audf(F.col("text"), F.col("tool"), ext_bits_col(sigs))
         )
         .select("conv_id", "turn_idx", "tool", F.explode("_m.yara").alias("m"))
         .filter(F.col("m.rule").isin(rule_names))

@@ -272,6 +272,35 @@ def condition_uses_strings(node) -> bool:
     return False
 
 
+def collect_ext_atoms(sigs) -> list[ExtPred]:
+    """Every distinct external-variable predicate across the rule set, in
+    deterministic first-seen order. Ext atoms are pure functions of
+    (tool, role), so the pipeline evaluates them JVM-side (whole-stage
+    codegen) and ships ONE packed int64 bitmask across the Python bridge
+    instead of the tool/role strings — the bit index here is the shared
+    contract between the Catalyst packer and the matcher's mask backend."""
+    seen: dict[ExtPred, None] = {}
+
+    def walk(node) -> None:
+        if isinstance(node, ExtPred):
+            seen.setdefault(node)
+        elif isinstance(node, Not):
+            walk(node.operand)
+        elif isinstance(node, (AndExpr, OrExpr)):
+            for x in node.items:
+                walk(x)
+
+    for rule in sigs.yara_rules:
+        walk(rule.condition_ast)
+    atoms = list(seen)
+    if len(atoms) > 63:
+        raise YaraUnsupportedError(
+            f"{len(atoms)} distinct external-variable predicates exceed the "
+            "63-bit ext-bits packing; split the rule set"
+        )
+    return atoms
+
+
 def condition_negates_strings(node, neg: bool = False) -> bool:
     """True if any string reference (StrRef/OfThem) appears under an odd
     number of `not`s. Such a condition is NOT monotone in the string

@@ -51,14 +51,14 @@ TEXT_RULES: tuple[tuple[int, int, str, str], ...] = (
     (127, 97, "append", " see docs at good.example.org today"),
     # fullword probes: the first is word-bounded (matches `fwprobe`
     # fullword), the second embeds it inside a longer token (must NOT)
-    (109, 41, "append", " calls fwprobe directly"),
-    (109, 87, "append", " prefixfwprobe9 blocked"),
+    (1009, 41, "append", " calls fwprobe directly"),
+    (1009, 87, "append", " prefixfwprobe9 blocked"),
     # embedded sub-documents (S3 nested-payload explode): fenced
     # attachments whose payloads route through the same scan pipeline as
     # child turns with parent->entry display lineage
-    (113, 31, "append",
+    (1013, 31, "append",
      " <<attach:inner_tool.exe>>EICAR-TEST-PAYLOAD-ALPHA<<end>>"),
-    (113, 67, "append",
+    (1013, 67, "append",
      " <<attach:nested.bin>>beacon to evil-c2.example.com now<<end>>"),
 )
 

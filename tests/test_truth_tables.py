@@ -380,11 +380,11 @@ NEGATED_SIGS = _sigs(
 
 def test_negated_condition_disables_text_gate(spark):
     """A `not $str` condition is non-monotone in the masks, so the
-    blank-non-candidate-text gate must be OFF (text_gate_expr -> None) and
+    blank-non-candidate-text gate must be OFF (text gate -> None) and
     the pipeline must still answer correctly."""
-    from loki_rs_spark.operators.arrow_matcher import text_gate_expr
+    from loki_rs_spark.operators.arrow_matcher import match_gate_exprs
 
-    assert text_gate_expr(NEGATED_SIGS) is None
+    assert match_gate_exprs(NEGATED_SIGS)[0] is None
     rows = [
         ("clean text", "probe-tool", "user"),  # fires: no netcat, name hits
         ("ran netcat", "probe-tool", "user"),  # suppressed by not $nc
