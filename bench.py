@@ -75,9 +75,37 @@ def _cpu_speed() -> float:
     return best
 
 
-# canonical single-thread probe on a healthy window of this box; runs at
-# < DEGRADED_FRACTION of this are flagged (and waited out, budget allowing)
+def _cpu_speed_mt(threads: int = 32, duration: float = 1.0) -> float:
+    """Aggregate multi-thread hash throughput (MB/s). The hypervisor
+    throttles AGGREGATE guest CPU via burst credits (observed: first
+    ~30-60s of full-box burn runs ~3x faster than the sustained rate, and
+    ~3 min of idle refills the credits) while single-thread speed stays
+    healthy — so scaling measurements must gate on THIS probe."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    block = b"\xcd" * (1 << 20)
+
+    def spin(_):
+        deadline = time.perf_counter() + duration
+        done = 0
+        h = hashlib.sha256()
+        while time.perf_counter() < deadline:
+            for _ in range(8):
+                h.update(block)
+            done += 8
+        return done
+
+    with ThreadPoolExecutor(threads) as ex:
+        started = time.perf_counter()
+        total = sum(ex.map(spin, range(threads)))
+        return total / (time.perf_counter() - started)
+
+
+# canonical probes on a healthy, credit-full window of this box; runs at
+# < DEGRADED_FRACTION of these are flagged (and waited out, budget allowing)
 CANONICAL_CPU_MBS = 1400.0
+CANONICAL_CPU_MT_MBS = 13000.0
 DEGRADED_FRACTION = 0.6
 
 _IDLE_WAIT_BUDGET = [300.0]  # total seconds of idle-waiting across the run
@@ -97,15 +125,21 @@ def _wait_for_idle(max_busy: float = 3.0, max_wait: float = 120.0) -> float:
         while time.time() < deadline:
             busy = _busy_cores()
             speed = _cpu_speed()
-            if busy <= max_busy and speed >= DEGRADED_FRACTION * CANONICAL_CPU_MBS:
+            mt = _cpu_speed_mt(duration=0.5)
+            if (
+                busy <= max_busy
+                and speed >= DEGRADED_FRACTION * CANONICAL_CPU_MBS
+                and mt >= DEGRADED_FRACTION * CANONICAL_CPU_MT_MBS
+            ):
                 return speed
             print(
                 f"  box busy ({busy:.1f} cores) or slow "
-                f"({speed:.0f} MB/s vs {CANONICAL_CPU_MBS:.0f} canonical), "
-                "waiting...",
+                f"(1t {speed:.0f}/{CANONICAL_CPU_MBS:.0f}, "
+                f"mt {mt:.0f}/{CANONICAL_CPU_MT_MBS:.0f} MB/s), waiting "
+                "(hypervisor burst credits refill on idle)...",
                 file=sys.stderr,
             )
-            time.sleep(10)
+            time.sleep(15)
         print("  WARNING: box never went idle+healthy; measuring anyway",
               file=sys.stderr)
         return speed

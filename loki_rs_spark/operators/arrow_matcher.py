@@ -258,6 +258,93 @@ def match_gate_exprs(sigs: SignatureSet):
     return gate, tool_gate
 
 
+def match_scores_record_batch(
+    engine, batch: pa.RecordBatch
+) -> tuple[pa.Array, pa.Array]:
+    """Score-only variant of match_record_batch: per row, the SCORE arrays
+    of matching filename IOCs and fired YARA rules (discovery order), with
+    no struct assembly and no matched-string offset extraction — the whole
+    batch is mask algebra + one ListArray construction, zero per-hit
+    Python. Used by aggregate-only consumers (severity counts, rollups)
+    where messages/offsets are never read; scoring semantics are identical
+    because reason scores do not depend on matched strings."""
+    text = batch.column("text")
+    tool = batch.column("tool")
+    bits_np = (
+        batch.column("ext_bits")
+        .to_numpy(zero_copy_only=False)
+        .astype("int64", copy=False)
+    )
+    ext = ExtBits(bits_np, engine.atom_index)
+    n = batch.num_rows
+
+    def score_list_array(per_source: list[tuple[np.ndarray, int]]) -> pa.Array:
+        """(mask, score) per source, source order preserved per row."""
+        counts = np.zeros(n, dtype=np.int64)
+        for mask, _ in per_source:
+            counts += mask
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        values = np.zeros(int(offsets[-1]), dtype=np.int32)
+        cursor = offsets[:-1].copy()
+        for mask, score in per_source:
+            idx = np.nonzero(mask)[0]
+            values[cursor[idx]] = score
+            cursor[idx] += 1
+        return pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
+        )
+
+    fname_sources = []
+    for _rx, _fp_rx, ioc in engine.fname:
+        mask = _mask(tool, ioc.pattern, regex=True)
+        if ioc.fp_pattern:
+            mask &= ~_mask(tool, ioc.fp_pattern, regex=True)
+        fname_sources.append((mask, ioc.score))
+
+    yara_sources = []
+    for compiled in engine.yara:
+        masks = [_string_mask(text, s) for s in compiled.rule.strings]
+        counts = np.zeros(n, dtype=np.int32)
+        for m in masks:
+            counts += m
+        backend = _MaskBackend(
+            {ident: m for (ident, _), m in zip(compiled.patterns, masks)},
+            counts,
+            len(compiled.patterns),
+            ext,
+        )
+        fired = render_condition(compiled.ast, backend)
+        yara_sources.append((np.asarray(fired, dtype=bool), compiled.rule.score))
+
+    return score_list_array(fname_sources), score_list_array(yara_sources)
+
+
+def make_arrow_score_matcher_udf(spark: SparkSession, sigs: SignatureSet):
+    """arrow_udf wrapper for match_scores_record_batch: returns
+    struct<fname:array<int>, yara:array<int>> of match scores."""
+    from pyspark.sql.functions import arrow_udf
+
+    bc = spark.sparkContext.broadcast(sigs.to_payload())
+
+    @arrow_udf("struct<fname:array<int>,yara:array<int>>")
+    def match_scores_arrow(
+        it: Iterator[Tuple[pa.Array, pa.Array, pa.Array]],
+    ) -> Iterator[pa.Array]:
+        engine = _engine_for(bc.value)
+        for text, tool, ext_bits in it:
+            batch = pa.RecordBatch.from_arrays(
+                [_as_array(text), _as_array(tool), _as_array(ext_bits)],
+                names=["text", "tool", "ext_bits"],
+            )
+            fname_arr, yara_arr = match_scores_record_batch(engine, batch)
+            yield pa.StructArray.from_arrays(
+                [fname_arr, yara_arr], names=["fname", "yara"]
+            )
+
+    return match_scores_arrow
+
+
 def make_arrow_matcher_udf(spark: SparkSession, sigs: SignatureSet):
     """Scalar Arrow UDF (Spark 4.1 `arrow_udf`, iterator form): ONLY the
     text and tool columns cross the Python bridge (unlike mapInArrow,

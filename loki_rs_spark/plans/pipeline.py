@@ -253,6 +253,93 @@ def scan_transcripts(
     return ScanResult(scanned=scanned, evaluated=evaluated, routed=routed)
 
 
+def scan_transcripts_scores(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    sigs: SignatureSet,
+    cfg: ScanConfig = DEFAULT_CONFIG,
+) -> ScanResult:
+    """Score-only rendering of the scan pipeline for aggregate consumers
+    (severity counts, per-conversation rollups, counters): identical
+    filters, gates, joins, score fold and severity semantics, but the
+    matcher UDF emits ONLY per-source score arrays — no reason structs, no
+    matched-string offset extraction, so the per-hit Python work and the
+    wide reason projection disappear. Score equality with the full path is
+    guaranteed by construction (reason scores never depend on matched
+    strings) and enforced by the shared oracle rows + a pytest.
+
+    `evaluated`/`routed` carry (conv_id, turn_idx, role, tool, ts,
+    n_reasons, score, level) only."""
+    from ..operators.arrow_matcher import (
+        make_arrow_score_matcher_udf,
+        match_gate_exprs,
+    )
+    from ..operators.ext_bits import ext_bits_col
+
+    df = apply_exclusions(transcripts, cfg.exclude_patterns)
+    df = apply_size_filter(df, cfg.max_text_chars)
+    scanned = df
+
+    df = with_hashes(df)
+    df = anti_join_fp_hashes(spark, df, sigs)
+
+    text_gate, tool_gate = match_gate_exprs(sigs)
+    gated_text = (
+        F.col("text")
+        if text_gate is None
+        else F.when(text_gate, F.col("text")).otherwise(F.lit(""))
+    )
+    gated_tool = F.when(tool_gate, F.col("tool")).otherwise(F.lit(""))
+    sudf = make_arrow_score_matcher_udf(spark, sigs)
+    df = df.withColumn("_s", sudf(gated_text, gated_tool, ext_bits_col(sigs)))
+
+    df, hash_reasons, hash_hit = hash_reason_array(spark, df, sigs)
+    c2_reasons = c2_reason_array(F.col("text"), list(sigs.c2_iocs))
+    hash_scores = F.transform(_nz(hash_reasons), lambda r: r["score"])
+    c2_scores = F.transform(_nz(c2_reasons), lambda r: r["score"])
+
+    assembled = F.slice(
+        F.concat(
+            F.col("_s.fname"), hash_scores, F.col("_s.yara"), c2_scores
+        ),
+        1,
+        cfg.max_matches,
+    )
+    candidate = (
+        hash_hit
+        | F.contains(F.col("text"), F.lit("."))
+        | (F.size(F.col("_s.fname")) > 0)
+        | (F.size(F.col("_s.yara")) > 0)
+    )
+    sub_scores = F.when(candidate, assembled).otherwise(
+        F.array().cast("array<int>")
+    )
+    score = rounded_score_col(weighted_score_col(sub_scores))
+    level = severity_col(score, cfg)
+
+    evaluated = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.size(sub_scores).alias("n_reasons"),
+        score.alias("score"),
+        level.alias("level"),
+    )
+    routed_base = evaluated
+    if not evaluated.isStreaming:
+        routed_base = evaluated.withColumn(
+            "_barrier", F.monotonically_increasing_id()
+        )
+    routed = routed_base.filter(
+        (F.col("n_reasons") > 0) & F.col("level").isNotNull()
+    )
+    if "_barrier" in routed.columns:
+        routed = routed.drop("_barrier")
+    return ScanResult(scanned=scanned, evaluated=evaluated, routed=routed)
+
+
 class _CatalystCondBackend:
     """YARA condition AST -> Catalyst Column predicates (the pure-JVM
     matcher rendering; whole-stage codegen'd). One instance per rule."""

@@ -70,6 +70,24 @@ def test_routed_row_equality(spark, transcripts, sigs, expected_rows, impl):
                 assert ar["matched_strings"] == er.matched_strings, key
 
 
+def test_score_only_path_equals_full(spark, transcripts, sigs):
+    """The lean score-only pipeline (scan_transcripts_scores) must agree
+    with the full pipeline row-for-row on (n_reasons, score, level)."""
+    from loki_rs_spark.plans.pipeline import scan_transcripts_scores
+
+    full = {
+        (r["conv_id"], r["turn_idx"]): (r["n_reasons"], r["score"], r["level"])
+        for r in scan_transcripts(spark, transcripts, sigs, CFG)
+        .evaluated.collect()
+    }
+    lean = {
+        (r["conv_id"], r["turn_idx"]): (r["n_reasons"], r["score"], r["level"])
+        for r in scan_transcripts_scores(spark, transcripts, sigs, CFG)
+        .evaluated.collect()
+    }
+    assert full == lean
+
+
 def test_match_classes_present(expected_rows):
     """The planted corpus must exercise every match class."""
     messages = [
