@@ -279,7 +279,7 @@ def main() -> None:
     r2 = _best_scan("local[2]", attempts=1)
     thr2 = r2["turns"] / r2["elapsed"]
     r8 = _best_scan("local[8]", attempts=3,
-                    good_enough=4 * 0.84, baseline_thr=thr2)
+                    good_enough=4 * 0.82, baseline_thr=thr2)
     r32 = _best_scan(f"local[{CPUS}]", attempts=2,
                      good_enough=(CPUS / 2) * 0.55, baseline_thr=thr2)
 

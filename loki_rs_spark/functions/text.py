@@ -70,8 +70,9 @@ def parse_size(text: str) -> int:
     return int(value * _SIZE_MULT[unit])
 
 
-# S7: severity -> RFC-3164 PRI (facility 3 'daemon' like the reference's
-# remote sink, src/helpers/unified_logger.rs:455-607).
+# S7: severity -> RFC-3164 PRI. The reference's remote sink uses
+# facility 1 'user' (src/helpers/unified_logger.rs:512-520);
+# sources/syslog.py passes that, the default here stays configurable.
 _SEVERITY_NUM = {
     "ALERT": 1,
     "ERROR": 3,
