@@ -138,16 +138,9 @@ def match_record_batch(engine, batch: pa.RecordBatch) -> tuple[pa.Array, pa.Arra
     text_cache: dict[int, str] = {}
     for compiled in engine.yara:
         masks = [_string_mask(text, s) for s in compiled.rule.strings]
-        counts = np.zeros(n, dtype=np.int32)
-        for m in masks:
-            counts += m
         backend = _MaskBackend(
-            {
-                ident: m
-                for (ident, _), m in zip(compiled.patterns, masks)
-            },
-            counts,
-            len(compiled.patterns),
+            [(ident, m) for (ident, _), m in zip(compiled.patterns, masks)],
+            n,
             ext,
         )
         fired = render_condition(compiled.ast, backend)
@@ -305,13 +298,9 @@ def match_scores_record_batch(
     yara_sources = []
     for compiled in engine.yara:
         masks = [_string_mask(text, s) for s in compiled.rule.strings]
-        counts = np.zeros(n, dtype=np.int32)
-        for m in masks:
-            counts += m
         backend = _MaskBackend(
-            {ident: m for (ident, _), m in zip(compiled.patterns, masks)},
-            counts,
-            len(compiled.patterns),
+            [(ident, m) for (ident, _), m in zip(compiled.patterns, masks)],
+            n,
             ext,
         )
         fired = render_condition(compiled.ast, backend)

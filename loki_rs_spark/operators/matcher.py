@@ -132,24 +132,37 @@ class _MaskBackend:
 
     def __init__(
         self,
-        masks: dict[str, np.ndarray],
-        counts: np.ndarray,
-        n_strings: int,
+        ident_masks: list[tuple[str, np.ndarray]],
+        n_rows: int,
         ext,
     ) -> None:
-        self.masks = masks
-        self.counts = counts
-        self.n_strings = n_strings
+        self.ident_masks = ident_masks
+        self.masks = dict(ident_masks)
+        self.n_rows = n_rows
         self.ext = ext
 
     def str_ref(self, ident: str) -> np.ndarray:
         return self.masks[ident]
 
-    def of_them(self, n: str) -> np.ndarray:
+    def of_them(self, node) -> np.ndarray:
+        from ..signatures.conditions import selector_matches
+
+        selected = [
+            m
+            for ident, m in self.ident_masks
+            if selector_matches(node.selector, ident)
+        ]
         needed = (
-            1 if n == "any" else self.n_strings if n == "all" else int(n)
+            1
+            if node.n == "any"
+            else len(selected)
+            if node.n == "all"
+            else int(node.n)
         )
-        return self.counts >= needed
+        counts = np.zeros(self.n_rows, dtype="int32")
+        for m in selected:
+            counts += m
+        return counts >= needed
 
     def ext_pred(self, p: ExtPred) -> np.ndarray:
         return self.ext.pred(p)
@@ -222,21 +235,16 @@ class CompiledEngine:
                 text.str.contains(rx, regex=True, na=False).to_numpy()
                 for _, rx in compiled.patterns
             ]
-            counts = (
-                sum(m.astype("int32") for m in masks)
-                if masks
-                else np.zeros(n, dtype="int32")
-            )
             backend = _MaskBackend(
-                {ident: m for (ident, _), m in zip(compiled.patterns, masks)},
-                counts,
-                len(compiled.patterns),
+                [
+                    (ident, m)
+                    for (ident, _), m in zip(compiled.patterns, masks)
+                ],
+                n,
                 ext,
             )
             fired = render_condition(compiled.ast, backend)
-            if fired is True or fired is False or fired.ndim == 0:
-                fired = np.full(n, bool(fired))
-            hits = fired.nonzero()[0]
+            hits = np.asarray(fired, dtype=bool).nonzero()[0]
             for i in hits:
                 if len(yara_out[i]) >= MAX_YARA_MATCHES:
                     continue

@@ -109,21 +109,28 @@ class _SqlCondBackend:
     """YARA condition AST -> DuckDB boolean SQL (the oracle rendering)."""
 
     def __init__(self, rule) -> None:
-        self.str_conds = {
-            s.identifier: _yara_string_sql(s) for s in rule.strings
-        }
+        self.ident_conds = [
+            (s.identifier, _yara_string_sql(s)) for s in rule.strings
+        ]
+        self.str_conds = dict(self.ident_conds)
 
     def str_ref(self, ident: str) -> str:
         return f"({self.str_conds[ident]})"
 
-    def of_them(self, n: str) -> str:
-        conds = list(self.str_conds.values())
-        if n == "any":
+    def of_them(self, node) -> str:
+        from .signatures.conditions import selector_matches
+
+        conds = [
+            c
+            for ident, c in self.ident_conds
+            if selector_matches(node.selector, ident)
+        ]
+        if node.n == "any":
             return "(" + " OR ".join(conds) + ")"
-        if n == "all":
+        if node.n == "all":
             return "(" + " AND ".join(conds) + ")"
         total = " + ".join(f"CAST({c} AS INTEGER)" for c in conds)
-        return f"(({total}) >= {int(n)})"
+        return f"(({total}) >= {int(node.n)})"
 
     def ext_pred(self, p) -> str:
         col, v = _ext_var_sql(p.var), p.value

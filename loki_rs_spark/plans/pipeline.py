@@ -347,29 +347,35 @@ class _CatalystCondBackend:
     def __init__(self, rule) -> None:
         from ..signatures.compile import boolean_regex
 
-        self.str_cols = {
-            s.identifier: F.col("text").rlike(boolean_regex(s, "lookaround"))
+        self.ident_cols = [
+            (s.identifier, F.col("text").rlike(boolean_regex(s, "lookaround")))
             for s in rule.strings
-        }
-        self.n_strings = len(rule.strings)
+        ]
+        self.str_cols = dict(self.ident_cols)
 
     def str_ref(self, ident: str) -> Column:
         return self.str_cols[ident]
 
-    def of_them(self, n: str) -> Column:
-        conds = list(self.str_cols.values())
-        if n == "any":
+    def of_them(self, node) -> Column:
+        from ..signatures.conditions import selector_matches
+
+        conds = [
+            c
+            for ident, c in self.ident_cols
+            if selector_matches(node.selector, ident)
+        ]
+        if node.n == "any":
             fired = F.lit(False)
             for c in conds:
                 fired = fired | c
             return fired
-        if n == "all":
+        if node.n == "all":
             fired = F.lit(True)
             for c in conds:
                 fired = fired & c
             return fired
         count = sum((c.cast("int") for c in conds), F.lit(0))
-        return count >= int(n)
+        return count >= int(node.n)
 
     def ext_pred(self, p) -> Column:
         from ..operators.ext_bits import catalyst_ext_pred

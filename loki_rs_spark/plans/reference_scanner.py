@@ -155,19 +155,31 @@ class _RowBackend:
     """Condition AST -> plain Python booleans for one row."""
 
     def __init__(
-        self, fired: dict[str, bool], n_fired: int, n_strings: int, ext: dict
+        self, ident_fired: list[tuple[str, bool]], ext: dict
     ) -> None:
-        self.fired = fired
-        self.n_fired = n_fired
-        self.n_strings = n_strings
+        self.ident_fired = ident_fired
+        self.fired = dict(ident_fired)
         self.ext = ext
 
     def str_ref(self, ident: str) -> bool:
         return self.fired[ident]
 
-    def of_them(self, n: str) -> bool:
-        needed = 1 if n == "any" else self.n_strings if n == "all" else int(n)
-        return self.n_fired >= needed
+    def of_them(self, node) -> bool:
+        from ..signatures.conditions import selector_matches
+
+        selected = [
+            hit
+            for ident, hit in self.ident_fired
+            if selector_matches(node.selector, ident)
+        ]
+        needed = (
+            1
+            if node.n == "any"
+            else len(selected)
+            if node.n == "all"
+            else int(node.n)
+        )
+        return sum(selected) >= needed
 
     def ext_pred(self, p: ExtPred) -> bool:
         col, v = self.ext[p.var], p.value
@@ -268,15 +280,12 @@ def scan_turn(
     ext = _ext_vars(tool, role)
     for rule in sigs.yara_rules:
         per_string: list[tuple[str, list[tuple[int, str]]]] = []
-        fired_map: dict[str, bool] = {}
-        n_fired = 0
+        ident_fired: list[tuple[str, bool]] = []
         for s in rule.strings:
             occurrences = _string_occurrences(s, text)
-            if occurrences:
-                n_fired += 1
-            fired_map[s.identifier] = bool(occurrences)
+            ident_fired.append((s.identifier, bool(occurrences)))
             per_string.append((s.identifier, occurrences))
-        backend = _RowBackend(fired_map, n_fired, len(rule.strings), ext)
+        backend = _RowBackend(ident_fired, ext)
         if render_condition(rule.condition_ast, backend):
             matched_strings = [
                 f"{ident}: {format_matched_data(data)} @ {start}"

@@ -79,6 +79,22 @@ class YaraUnsupportedError(ValueError):
 @dataclass(frozen=True)
 class OfThem:
     n: str  # 'any' | 'all' | decimal int as str
+    # None = 'them' (every string); else string-set selector entries, each
+    # a '$id' or '$prefix*' wildcard ("N of ($a, $b*)" yara syntax)
+    selector: tuple[str, ...] | None = None
+
+
+def selector_matches(selector: tuple[str, ...] | None, ident: str) -> bool:
+    """Does a string identifier belong to an of-term's set?"""
+    if selector is None:
+        return True
+    for pat in selector:
+        if pat.endswith("*"):
+            if ident.startswith(pat[:-1]):
+                return True
+        elif ident == pat:
+            return True
+    return False
 
 
 @dataclass(frozen=True)
@@ -125,12 +141,13 @@ _OPS = {
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-        (?P<str_id>\$[A-Za-z0-9_]*)
+        (?P<str_id>\$[A-Za-z0-9_]*\*?)
       | (?P<string>"(?:[^"\\]|\\.)*")
       | (?P<regex>/(?:[^/\\]|\\.)+/[is]*)
       | (?P<cmp>==|!=)
       | (?P<lpar>\()
       | (?P<rpar>\))
+      | (?P<comma>,)
       | (?P<int>\d+)
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
     )""",
@@ -219,16 +236,40 @@ class _Parser:
                 raise YaraUnsupportedError("unbalanced parenthesis")
             return node
         if kind == "str_id":
+            if val.endswith("*"):
+                raise YaraUnsupportedError(
+                    f"wildcard string reference {val!r} only valid inside "
+                    "an of-term set"
+                )
             return StrRef(val)
         if kind == "int" or (kind == "word" and val in ("any", "all")):
-            # of-term: 'N of them' / bare 'N' sugar
+            # of-term: 'N of them' / 'N of ($a, $b*)' / bare 'N' sugar
             if self.peek() == ("word", "of"):
                 self.next()
                 k2, v2 = self.next()
-                if (k2, v2) != ("word", "them"):
-                    raise YaraUnsupportedError(
-                        f"only 'of them' is supported, got 'of {v2}'"
-                    )
+                if (k2, v2) == ("word", "them"):
+                    return OfThem(val)
+                if k2 == "lpar":
+                    sel: list[str] = []
+                    while True:
+                        k3, v3 = self.next()
+                        if k3 != "str_id":
+                            raise YaraUnsupportedError(
+                                f"of-set expects string refs, got {v3!r}"
+                            )
+                        # '$*' wildcards every string == 'them'
+                        sel.append(v3)
+                        k4, v4 = self.next()
+                        if k4 == "rpar":
+                            break
+                        if k4 != "comma":
+                            raise YaraUnsupportedError(
+                                f"of-set expects ',' or ')', got {v4!r}"
+                            )
+                    return OfThem(val, tuple(sel))
+                raise YaraUnsupportedError(
+                    f"'of' expects 'them' or a ($set), got {v2!r}"
+                )
             return OfThem(val)
         if kind == "word" and val in EXT_VARS:
             op_kind, op_val = self.next()
@@ -260,6 +301,16 @@ def parse_condition(text: str):
     """Parse a condition string into the AST. Raises YaraUnsupportedError
     on anything outside the supported subset."""
     return _Parser(_tokenize(text)).parse()
+
+
+def collect_of_terms(node) -> list[OfThem]:
+    if isinstance(node, OfThem):
+        return [node]
+    if isinstance(node, Not):
+        return collect_of_terms(node.operand)
+    if isinstance(node, (AndExpr, OrExpr)):
+        return [t for x in node.items for t in collect_of_terms(x)]
+    return []
 
 
 def condition_uses_strings(node) -> bool:
@@ -326,7 +377,7 @@ def render_condition(node, backend):
     if isinstance(node, Not):
         return backend.not_(render_condition(node.operand, backend))
     if isinstance(node, OfThem):
-        return backend.of_them(node.n)
+        return backend.of_them(node)
     if isinstance(node, StrRef):
         return backend.str_ref(node.identifier)
     if isinstance(node, ExtPred):

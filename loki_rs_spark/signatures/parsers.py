@@ -247,6 +247,17 @@ def parse_yara_rules(text: str) -> list[YaraRule]:
                 f"rule {rule_name}: condition references strings but the "
                 "rule defines none"
             )
+        from .conditions import collect_of_terms, selector_matches
+
+        idents = [s.identifier for s in strings]
+        for term in collect_of_terms(ast):
+            if term.selector is not None and not any(
+                selector_matches(term.selector, i) for i in idents
+            ):
+                raise YaraUnsupportedError(
+                    f"rule {rule_name}: of-set {term.selector} selects no "
+                    "defined string"
+                )
         rules.append(
             YaraRule(
                 name=rule_name,

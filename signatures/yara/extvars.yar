@@ -21,6 +21,18 @@ rule ExtVar_Mimikatz_Name {
         filename contains "mimikatz" and owner != "user"
 }
 
+rule ExtVar_OfSet_Indicators {
+    meta:
+        score = 42
+        description = "any net indicator inside assistant turns (of-set)"
+    strings:
+        $ind1 = "netcat"
+        $ind2 = "meterpreter"
+        $zzz = "never-present-marker"
+    condition:
+        1 of ($ind*) and owner == "assistant"
+}
+
 rule Fullword_Probe {
     meta:
         score = 50

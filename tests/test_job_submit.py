@@ -31,28 +31,40 @@ def test_spark_submit_job(tmp_path):
                 zf.write(sig, sig.relative_to(REPO))
 
     out_dir = tmp_path / "out"
-    proc = subprocess.run(
-        [
-            _spark_submit(),
-            "--master",
-            "local[4]",
-            "--py-files",
-            str(zip_path),
-            str(REPO / "jobs" / "run_scan.py"),
-            "--sf-dir",
-            "/root/testdata/sf0.001",
-            "--out",
-            str(out_dir),
-            "--rep",
-            "2",
-            "--n-buckets",
-            "8",
-        ],
-        capture_output=True,
-        text=True,
-        timeout=420,
-        cwd=str(REPO),
-    )
+    cmd = [
+        _spark_submit(),
+        "--master",
+        "local[4]",
+        str(REPO / "jobs" / "run_scan.py"),
+        "--sf-dir",
+        "/root/testdata/sf0.001",
+        "--out",
+        str(out_dir),
+        "--rep",
+        "2",
+        "--n-buckets",
+        "8",
+    ]
+    cmd[3:3] = ["--py-files", str(zip_path)]
+    # modest driver heap: this JVM runs NEXT TO the pytest session's JVM
+    # when the whole suite runs, and sf0.001 rep2 needs nothing like the
+    # production default
+    env = {**os.environ, "SPARK_DRIVER_MEM": "6g"}
+
+    def run():
+        return subprocess.run(
+            cmd, capture_output=True, text=True, timeout=420,
+            cwd=str(REPO), env=env,
+        )
+
+    proc = run()
+    if proc.returncode not in (0, 1, 2):
+        # infrastructure failure (JVM killed under box contention), not a
+        # contract outcome — one retry before declaring defeat
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        proc = run()
     assert proc.returncode == 2, proc.stderr[-3000:]  # alerts exist => 2
     summary_lines = [
         l for l in proc.stdout.splitlines() if l.startswith("{")

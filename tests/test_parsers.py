@@ -156,9 +156,11 @@ def test_bundled_corpus_loads():
         "Meterpreter_Indicator",
         "ExtVar_Exe_Netcat",
         "ExtVar_Mimikatz_Name",
+        "ExtVar_OfSet_Indicators",
         "Fullword_Probe",
     ]
     assert sigs.yara_rules[2].score == 75
     # ext-var conditions parse to ASTs and a stringless rule is legal
     assert sigs.yara_rules[4].strings == ()
-    assert sigs.yara_rules[5].strings[0].fullword
+    assert sigs.yara_rules[5].condition == '1 of ($ind*) and owner == "assistant"'
+    assert sigs.yara_rules[6].strings[0].fullword

@@ -428,10 +428,71 @@ def test_unsupported_yara_constructs_raise():
         parse_yara_rules(rule("$a = { 4D 5A 90 }", "any of them"))
     with pytest.raises(YaraUnsupportedError):  # unsupported condition fn
         parse_yara_rules(rule('$a = "x"', "uint16(0) == 0x5a4d"))
-    with pytest.raises(YaraUnsupportedError):  # of ($set*) unsupported
-        parse_yara_rules(rule('$a = "x"', "any of ($a*)"))
+    with pytest.raises(YaraUnsupportedError):  # of-set selecting nothing
+        parse_yara_rules(rule('$a = "x"', "any of ($zzz*)"))
+    with pytest.raises(YaraUnsupportedError):  # wildcard ref outside of-set
+        parse_yara_rules(rule('$a = "x"', "$a* and $a"))
     with pytest.raises(YaraUnsupportedError):  # strings referenced, none defined
         parse_yara_rules("rule R {\n  condition:\n    any of them\n}")
+
+
+# ---- of-set selectors: N of ($a, $b*) -------------------------------------
+
+OFSET_SIGS = _sigs(
+    yara_rules=[
+        YaraRule(
+            "Pair", 80, "", "", "",
+            (
+                YaraString("$net1", "alpha-marker"),
+                YaraString("$net2", "beta-marker"),
+                YaraString("$other", "gamma-marker"),
+            ),
+            "2 of ($net*)",
+        ),
+        YaraRule(
+            "Mixed", 80, "", "", "",
+            (
+                YaraString("$a", "delta-marker"),
+                YaraString("$b", "epsilon-marker"),
+            ),
+            'all of ($a, $b) and not filename contains "skipme"',
+        ),
+    ]
+)
+
+
+@pytest.mark.parametrize(
+    "text,tool,expected_rules",
+    [
+        ("alpha-marker beta-marker", "t", ["Pair"]),
+        ("alpha-marker gamma-marker", "t", []),  # only 1 of ($net*)
+        ("alpha-marker beta-marker gamma-marker", "t", ["Pair"]),
+        ("delta-marker epsilon-marker", "t", ["Mixed"]),
+        ("delta-marker epsilon-marker", "skipme-tool", []),
+        ("delta-marker", "t", []),
+    ],
+)
+def test_of_set_truth_table(spark, text, tool, expected_rules):
+    ref = scan_turn("c0", 0, text, tool, OFSET_SIGS, CFG)
+    got_ref = (
+        [r.message.split("rule ")[1] for r in ref.reasons] if ref else []
+    )
+    assert got_ref == expected_rules
+    for matcher in ("arrow", "pandas", "catalyst"):
+        result = scan_transcripts(
+            spark,
+            _turn_df_roles(spark, [(text, tool, "user")]),
+            OFSET_SIGS,
+            CFG,
+            matcher=matcher,
+        )
+        rows = result.routed.collect()
+        got = (
+            [m["message"].split("rule ")[1] for m in rows[0]["reasons"]]
+            if rows
+            else []
+        )
+        assert got == expected_rules, f"matcher={matcher}"
 
 
 # ---- below-threshold drop + max_reasons slice ----------------------------
