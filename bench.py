@@ -203,11 +203,16 @@ def _time_queries(spark) -> dict[str, float]:
         "severity_counts",
         "rule_match_counts",
         "per_conv_rollup",
+        "archive_child_matches",
         "dedup_exact",
         "token_stats",
         "content_fingerprint",
         "ngram_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "simhash_pairs",
         "ann_cosine_topk",
+        "ann_knn_join",
+        "embedding_lsh_pairs",
     ]
     timings = {}
     for name in names:

@@ -9,7 +9,7 @@ validated like src/main.rs:1215-1219.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -24,6 +24,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        )
+        .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or (int(cpus) if cpus.isdigit() else 32)),
         )

@@ -138,6 +138,22 @@ rule Default_Score {
     assert rules[1].score == 75  # default when meta.score absent
 
 
+def test_comment_stripping_is_quote_aware():
+    text = (
+        "// rule set: this comment must not parse as a rule {\n"
+        "rule R { // trailing\n"
+        "  strings:\n"
+        '    $a = "http://x//y" // looks like a comment inside a string\n'
+        "  condition:\n"
+        "    any of them // tail\n"
+        "}\n"
+    )
+    rules = parse_yara_rules(text)
+    assert [r.name for r in rules] == ["R"]
+    assert rules[0].strings[0].pattern == "http://x//y"
+    assert rules[0].condition == "any of them"
+
+
 def test_bundled_corpus_loads():
     sigs = load_signature_set(SIG_DIR)
     assert {h.hash_type for h in sigs.hash_iocs} == {"md5", "sha1", "sha256"}
