@@ -176,16 +176,6 @@ def filename_reason_array(tool: Column, iocs: list[FilenameIOC]) -> Column:
     return F.filter(F.array(*items), lambda x: x.isNotNull())
 
 
-def _is_ipv4_literal(server: str) -> bool:
-    parts = server.split(".")
-    if len(parts) != 4:
-        return False
-    try:
-        return all(0 <= int(p) <= 255 for p in parts)
-    except ValueError:
-        return False
-
-
 def c2_reason_array(text: Column, iocs: list[C2IOC]) -> Column:
     """J4: extract host-like tokens from the lowercased turn text (the
     transcript analog of a process's remote connections), then match each

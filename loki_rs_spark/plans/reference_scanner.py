@@ -52,7 +52,12 @@ def _is_ipv4(addr: str) -> bool:
     if len(parts) != 4:
         return False
     try:
-        return all(0 <= int(p) <= 255 for p in parts)
+        # leading-zero octets are NOT IPs (Rust Ipv4Addr::from_str rejects
+        # them; IPV4_PATTERN and the DuckDB oracle agree)
+        return all(
+            0 <= int(p) <= 255 and (p == "0" or not p.startswith("0"))
+            for p in parts
+        )
     except ValueError:
         return False
 
@@ -115,7 +120,10 @@ def _string_occurrences(s: YaraString, text: str) -> list[tuple[int, str]]:
         rx = re.compile(_hex_regex_own(s.pattern), re.DOTALL)
         return [(m.start(), m.group(0)) for m in rx.finditer(text)]
     if s.is_regex:
-        rx = re.compile(s.pattern, re.IGNORECASE if s.nocase else 0)
+        body = s.pattern
+        if s.fullword:  # word-boundary wrap, own rendering (lookarounds)
+            body = f"(?<![0-9A-Za-z])(?:{body})(?![0-9A-Za-z])"
+        rx = re.compile(body, re.IGNORECASE if s.nocase else 0)
         return [(m.start(), m.group(0)) for m in rx.finditer(text)]
     hits: list[tuple[int, str]] = []
     if s.ascii_form:

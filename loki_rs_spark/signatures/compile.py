@@ -41,16 +41,17 @@ KNOWN_MODIFIERS = ("nocase", "wide", "ascii", "fullword")
 
 def regex_literal(s: str) -> str:
     """Render a literal as a regex that parses identically in Java regex,
-    RE2 and Python re: alphanumerics kept raw, everything else (including
-    NUL from wide interleaving) as a \\xHH / \\uHHHH escape."""
+    RE2 and Python re: ASCII alphanumerics raw, other ASCII (including NUL
+    from wide interleaving) as \\xHH (the 2-digit form all three engines
+    accept), and non-ASCII as the RAW character — there is NO shared
+    escape syntax above U+00FF (RE2 wants \\x{HHHH}, Python re wants
+    \\uHHHH), but a raw non-ASCII char is a plain literal in all three."""
     out = []
     for c in s:
-        if c.isalnum() and ord(c) < 128:
+        if ord(c) >= 128 or c.isalnum():
             out.append(c)
-        elif ord(c) < 256:
-            out.append(f"\\x{ord(c):02x}")
         else:
-            out.append(f"\\u{ord(c):04x}")
+            out.append(f"\\x{ord(c):02x}")
     return "".join(out)
 
 

@@ -156,14 +156,32 @@ _TOKEN_RE = re.compile(
 
 
 def _unquote(s: str) -> str:
+    """Decode a quoted YARA string literal with a single left-to-right
+    walk. (Chained str.replace is WRONG here: '\\\\n' — escaped backslash
+    then n — would first collapse to '\\n' and then a later replace would
+    turn it into a newline.) Supports \\" \\\\ \\n \\t \\r and \\xHH;
+    any other escaped char decodes to itself."""
     body = s[1:-1]
-    return (
-        body.replace('\\"', '"')
-        .replace("\\\\", "\\")
-        .replace("\\n", "\n")
-        .replace("\\t", "\t")
-        .replace("\\r", "\r")
-    )
+    out: list[str] = []
+    i = 0
+    simple = {"n": "\n", "t": "\t", "r": "\r"}
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt == "x" and i + 3 < len(body):
+                try:
+                    out.append(chr(int(body[i + 2 : i + 4], 16)))
+                    i += 4
+                    continue
+                except ValueError:
+                    pass
+            out.append(simple.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
@@ -243,6 +261,12 @@ class _Parser:
                 )
             return StrRef(val)
         if kind == "int" or (kind == "word" and val in ("any", "all")):
+            if kind == "int" and int(val) == 0:
+                # yara-x '0 of them' means NONE-of — a negation with very
+                # different gating semantics; reject rather than misfire
+                raise YaraUnsupportedError(
+                    "'0 of ...' (none-of semantics) is not supported"
+                )
             # of-term: 'N of them' / 'N of ($a, $b*)' / bare 'N' sugar
             if self.peek() == ("word", "of"):
                 self.next()

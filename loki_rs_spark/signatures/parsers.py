@@ -175,14 +175,11 @@ _STRING_RE = re.compile(
 
 
 def _unquote(s: str) -> str:
-    body = s[1:-1]
-    return (
-        body.replace("\\\"", "\"")
-        .replace("\\\\", "\\")
-        .replace("\\n", "\n")
-        .replace("\\t", "\t")
-        .replace("\\r", "\r")
-    )
+    """Single-pass escape decode — shared with the condition parser (the
+    chained-replace version corrupted '\\\\n' into a newline)."""
+    from .conditions import _unquote as _decode
+
+    return _decode(s)
 
 
 def parse_yara_rules(text: str) -> list[YaraRule]:
@@ -251,12 +248,20 @@ def parse_yara_rules(text: str) -> list[YaraRule]:
 
         idents = [s.identifier for s in strings]
         for term in collect_of_terms(ast):
-            if term.selector is not None and not any(
-                selector_matches(term.selector, i) for i in idents
-            ):
+            n_selected = sum(
+                1 for i in idents if selector_matches(term.selector, i)
+            )
+            if term.selector is not None and n_selected == 0:
                 raise YaraUnsupportedError(
                     f"rule {rule_name}: of-set {term.selector} selects no "
                     "defined string"
+                )
+            if term.n not in ("any", "all") and int(term.n) > n_selected:
+                # yara-x rejects quantifiers exceeding the set size at
+                # compile time; silently-never-firing is the trap we ban
+                raise YaraUnsupportedError(
+                    f"rule {rule_name}: '{term.n} of' exceeds the "
+                    f"{n_selected} string(s) it quantifies over"
                 )
         rules.append(
             YaraRule(

@@ -100,6 +100,25 @@ def test_c2_out_of_range_octet(spark, text, hit):
     assert (0 in routed) == hit
 
 
+# Leading-zero octets are not IPs either (Rust Ipv4Addr::from_str rejects
+# them): "01.2.3.4" falls through to domain suffix matching in ALL engines.
+LEADZERO_SIGS = _sigs(c2_iocs=[C2IOC("2.3.4", 80, "")])
+
+
+@pytest.mark.parametrize(
+    "text,hit",
+    [
+        ("connect 01.2.3.4 now", True),  # not an IP -> suffix match
+        ("connect 1.2.3.4 now", False),  # valid IP -> exact only
+    ],
+)
+def test_c2_leading_zero_octet(spark, text, hit):
+    ref = scan_turn("c0", 0, text, "tool-x", LEADZERO_SIGS, CFG)
+    assert (ref is not None) == hit
+    routed = _routed_levels(spark, [(text, "tool-x")], LEADZERO_SIGS)
+    assert (0 in routed) == hit
+
+
 # ---- filename IOC + fp_regex truth table (src/main.rs tests) -------------
 
 FN_SIGS = _sigs(
@@ -248,6 +267,40 @@ def test_fullword_nocase(spark):
     assert scan_turn("c0", 0, text, "t", FULLWORD_NOCASE_SIGS, CFG) is not None
     routed = _routed_levels(spark, [(text, "t")], FULLWORD_NOCASE_SIGS)
     assert 0 in routed
+
+
+FULLWORD_REGEX_SIGS = _yara_sigs(
+    [YaraString("$r", r"probe[0-9]+", is_regex=True, fullword=True)]
+)
+
+
+@pytest.mark.parametrize(
+    "text,hit",
+    [
+        ("run probe1 now", True),
+        ("run xprobe1 now", False),  # fullword applies to regex strings too
+        ("run probe1x now", False),
+        ("probe22", True),
+    ],
+)
+def test_fullword_on_regex_strings(spark, text, hit):
+    ref = scan_turn("c0", 0, text, "tool-x", FULLWORD_REGEX_SIGS, CFG)
+    assert (ref is not None) == hit
+    routed = _routed_levels(spark, [(text, "tool-x")], FULLWORD_REGEX_SIGS)
+    assert (0 in routed) == hit
+
+
+NONASCII_SIGS = _yara_sigs([YaraString("$u", "病毒", fullword=True)])
+
+
+def test_non_ascii_literal_with_modifier(spark):
+    """Non-ASCII literals forced onto the regex path must stay RE2-valid
+    (raw chars, not \\uHHHH escapes)."""
+    for text, hit in [("found 病毒 here", True), ("nothing", False)]:
+        ref = scan_turn("c0", 0, text, "tool-x", NONASCII_SIGS, CFG)
+        assert (ref is not None) == hit
+        routed = _routed_levels(spark, [(text, "tool-x")], NONASCII_SIGS)
+        assert (0 in routed) == hit
 
 
 WIDE_SIGS = _yara_sigs([YaraString("$w", "cmd", wide=True, ascii_form=False)])
@@ -434,6 +487,25 @@ def test_unsupported_yara_constructs_raise():
         parse_yara_rules(rule('$a = "x"', "$a* and $a"))
     with pytest.raises(YaraUnsupportedError):  # strings referenced, none defined
         parse_yara_rules("rule R {\n  condition:\n    any of them\n}")
+    with pytest.raises(YaraUnsupportedError):  # '0 of' = none-of semantics
+        parse_yara_rules(rule('$a = "x"', "0 of them"))
+    with pytest.raises(YaraUnsupportedError):  # quantifier exceeds set size
+        parse_yara_rules(rule('$a = "x"', "5 of them"))
+
+
+def test_escape_decoding_single_pass():
+    """'\\\\n' (escaped backslash + n) must decode to backslash+n, never a
+    newline; \\xHH decodes to the byte."""
+    from loki_rs_spark.signatures.conditions import ExtPred, parse_condition
+    from loki_rs_spark.signatures.parsers import parse_yara_rules
+
+    node = parse_condition('filename == "C:\\\\network"')
+    assert isinstance(node, ExtPred) and node.value == "C:\\network"
+    rules = parse_yara_rules(
+        'rule R {\n  strings:\n    $a = "C:\\\\nope\\x41"\n'
+        "  condition:\n    any of them\n}"
+    )
+    assert rules[0].strings[0].pattern == "C:\\nopeA"
 
 
 # ---- of-set selectors: N of ($a, $b*) -------------------------------------
