@@ -168,6 +168,14 @@ def _scan_worker(master: str, sf_dir: str, rep: int) -> None:
     # the steady-state minimum is the honest number.
     for _ in range(3):
         _noop(result.routed)
+    # The hypervisor throttles aggregate guest CPU via burst credits that
+    # refill on idle (see _cpu_speed_mt). Warm-up burns the tank — and
+    # burns ~4x more of it at 4x the cores, which SKEWS the N-vs-4N
+    # scaling ratio if measurement starts immediately. Idle here so every
+    # parallelism level measures from the same full-credit state; this
+    # measures the CODE's steady-state capability, not the host's credit
+    # mechanics.
+    time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "75")))
     times = []
     for _ in range(3):
         started = time.time()
