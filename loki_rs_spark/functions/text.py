@@ -83,11 +83,13 @@ _SEVERITY_NUM = {
 }
 
 
-def syslog_pri(level: str, facility: int = 3) -> int:
+def syslog_pri(level: str, facility: int = 1) -> int:
+    """Default facility 1 (user-level) matches the reference's
+    unified_logger.rs:521-522."""
     return facility * 8 + _SEVERITY_NUM.get(level.upper(), 6)
 
 
-def syslog_pri_col(level: Column, facility: int = 3) -> Column:
+def syslog_pri_col(level: Column, facility: int = 1) -> Column:
     expr = F.lit(6)
     for name, num in _SEVERITY_NUM.items():
         expr = F.when(F.upper(level) == name, F.lit(num)).otherwise(expr)

@@ -30,12 +30,18 @@ from ..signatures.model import SignatureSet
 def catalyst_ext_var(var: str) -> Column:
     """Turn-table rendering of the reference's scan globals (mapping
     documented in signatures/conditions.py)."""
+    # NULL tool/role coalesce to '' so negative predicates ('ne', 'not
+    # filename == ...') fire exactly as the row backend's str semantics
+    # do — under three-valued logic a NULL column would make the predicate
+    # NULL -> bit 0 -> silently not fired.
     if var in ("filename", "filepath"):
-        return F.col("tool")
+        return F.coalesce(F.col("tool"), F.lit(""))
     if var == "owner":
-        return F.col("role")
+        return F.coalesce(F.col("role"), F.lit(""))
     if var == "extension":
-        return F.regexp_extract(F.col("tool"), EXTENSION_REGEX, 1)
+        return F.regexp_extract(
+            F.coalesce(F.col("tool"), F.lit("")), EXTENSION_REGEX, 1
+        )
     if var == "filetype":
         out = None
         for op, arg, label in TOOL_TYPE_RULES:
@@ -66,7 +72,7 @@ def catalyst_ext_pred(p: ExtPred) -> Column:
         and p.value
         and not any(c in "./\\" for c in p.value)
     ):
-        probe = F.col("tool").endswith("." + p.value)
+        probe = F.coalesce(F.col("tool"), F.lit("")).endswith("." + p.value)
         return probe if p.op == "eq" else ~probe
     col, v = catalyst_ext_var(p.var), p.value
     if p.op == "eq":

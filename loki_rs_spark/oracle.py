@@ -812,7 +812,9 @@ FROM transcripts GROUP BY 1"""
 
 def media_features_sql(limit: int = 64) -> str:
     """Independent SQL rendering of the fake featurizer: 8 little-endian
-    uint32 words of sha256(utf-8 text bytes), from hex nibbles."""
+    uint32 words of sha256(utf-8 text bytes), from hex nibbles. Emitted as
+    scalar columns f0..f7 (not an array) so the check harness can sort and
+    hash every column."""
 
     def nib(p: int) -> str:
         return f"(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
@@ -824,15 +826,15 @@ def media_features_sql(limit: int = 64) -> str:
             k = 4 * i + j  # byte index in the digest
             byte_expr = f"({nib(2 * k + 1)} * 16 + {nib(2 * k + 2)})"
             byte_terms.append(f"CAST({byte_expr} AS BIGINT) * {256 ** j}")
-        words.append("(" + " + ".join(byte_terms) + ")")
-    feature = "[" + ", ".join(words) + "]"
+        words.append("(" + " + ".join(byte_terms) + f") AS f{i}")
+    feature = ", ".join(words)
     return f"""WITH m AS (
   SELECT doc_id AS media_id,
     CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
     CAST(strlen(text) AS INTEGER) AS n_bytes,
     sha256(text) AS h
   FROM documents WHERE doc_id < {limit})
-SELECT media_id, kind, n_bytes, {feature} AS feature FROM m"""
+SELECT media_id, kind, n_bytes, {feature} FROM m"""
 
 
 def events_parsed_sql() -> str:

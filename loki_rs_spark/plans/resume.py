@@ -20,6 +20,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from ..config import DEFAULT_CONFIG, ScanConfig
 from ..signatures.model import SignatureSet
@@ -118,7 +119,10 @@ def run_resumable_scan(
             F.count(F.when(F.col("level") == "WARNING", 1)).alias("n_warnings"),
             F.count(F.when(F.col("level") == "NOTICE", 1)).alias("n_notices"),
         )
-    except Exception:  # nothing routed at all => no parquet footer to read
+    except AnalysisException:  # nothing routed at all => no path to read;
+        # genuine read failures (corrupt footer, FS errors) surface as
+        # other exception types and must propagate — zeroing metrics while
+        # lineage marks the buckets complete would be silent data loss
         per_bucket = spark.createDataFrame(
             [],
             "part_id bigint, n_routed bigint, n_alerts bigint, "

@@ -943,11 +943,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (binary column in, fixed-dim vector out) emitting the exact-integer
     u32 feature basis so the DuckDB oracle can verify it bit-exactly. The
     normalized-float variant of the same operator is covered by pytest
-    (tests/test_streaming_multimodal.py)."""
-    from .operators.multimodal import extract_features, synthetic_media
+    (tests/test_streaming_multimodal.py). The fixed-dim vector is
+    flattened to scalar columns f0..f7 for the oracle compare (the check
+    harness sorts on every column, which an array column defeats)."""
+    from .operators.multimodal import FEATURE_DIM, extract_features, synthetic_media
 
     media = synthetic_media(spark, sf_dir, limit=64)
-    return extract_features(media, raw_u32=True)
+    feats = extract_features(media, raw_u32=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )
 
 
 def q_events_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,6 +88,10 @@ def hex_to_regex(body: str, context: str = "") -> str:
             out.append(".")
         elif jump_lo is not None:
             if jump_hi is not None:
+                if int(jump_hi) < int(jump_lo):
+                    raise YaraUnsupportedError(
+                        f"inverted hex jump [{jump_lo}-{jump_hi}]{context}"
+                    )
                 out.append(f".{{{int(jump_lo)},{int(jump_hi)}}}")
             else:
                 out.append(f".{{{int(jump_lo)}}}")

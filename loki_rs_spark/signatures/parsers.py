@@ -278,8 +278,12 @@ def parse_yara_rules(text: str) -> list[YaraRule]:
 
 
 def _strip_comments(text: str) -> str:
-    """Strip // line comments, quote-aware (a // inside a "..." string
-    literal or /regex/ body is NOT a comment)."""
+    """Strip // line comments, quote-aware: a // inside a "..." string
+    literal or a /regex/ body is NOT a comment. Regex bodies are tracked
+    as their own quoting context (entered on the / that follows '=' in a
+    string definition) so a regex containing an unpaired double-quote
+    (e.g. $r = /say "x{2}/) can't flip the string state and let a trailing
+    // survive into the modifier tail."""
     out_lines = []
     for line in text.splitlines():
         in_str: str | None = None
@@ -295,9 +299,18 @@ def _strip_comments(text: str) -> str:
                     in_str = None
             elif c == '"':
                 in_str = '"'
-            elif c == "/" and line[i : i + 2] == "//":
-                cut = i
-                break
+            elif c == "/":
+                if line[i + 1 : i + 2] == "/":
+                    # not a comment if this / OPENS a regex body (it
+                    # directly follows '=' — the regex just starts with /)
+                    if line[:i].rstrip().endswith("="):
+                        in_str = "/"
+                        i += 1
+                        continue
+                    cut = i
+                    break
+                if line[:i].rstrip().endswith("="):
+                    in_str = "/"
             i += 1
         out_lines.append(line[:cut])
     return "\n".join(out_lines)

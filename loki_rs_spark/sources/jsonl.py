@@ -109,7 +109,15 @@ def write_jsonl_scan(
     **bracket_kwargs,
 ) -> None:
     """The full reference-shaped JSONL stream: scan_start bracket, one
-    turn_match line per routed row, scan_end bracket — one sink write."""
+    turn_match line per routed row, scan_end bracket — one sink write.
+
+    Bracket placement is enforced by an explicit ordering key (0=start,
+    1=matches, 2=end) + sortWithinPartitions, not by union order — union +
+    coalesce partition order is implementation behavior, not a Spark
+    contract. NOTE: the .coalesce(1) makes this a single-file FIXTURE sink
+    (the reference writes one loki.jsonl per host); it serializes the
+    stream through one task, so never point it at a full-scale table —
+    the scale sink is route.write_severity_sinks (partitionBy fan-out)."""
     brackets = scan_bracket_events(
         spark, counters, hostname=hostname, **bracket_kwargs
     ).cache()
@@ -117,9 +125,12 @@ def write_jsonl_scan(
     end = brackets.filter(F.col("value").contains('"scan_end"'))
     match_lines = routed_to_jsonl_df(routed, hostname)
     (
-        start.unionByName(match_lines)
-        .unionByName(end)
+        start.withColumn("__ord", F.lit(0))
+        .unionByName(match_lines.withColumn("__ord", F.lit(1)))
+        .unionByName(end.withColumn("__ord", F.lit(2)))
         .coalesce(1)
+        .sortWithinPartitions("__ord")
+        .drop("__ord")
         .write.mode("overwrite")
         .text(path)
     )

@@ -43,12 +43,15 @@ def test_parse_size():
 
 
 def test_syslog_pri():
-    # facility 3 (daemon): PRI = 3*8 + severity
-    assert syslog_pri("ALERT") == 25
-    assert syslog_pri("WARNING") == 28
-    assert syslog_pri("NOTICE") == 29
-    assert syslog_pri("INFO") == 30
-    assert syslog_pri("unknown") == 30
+    # default facility 1 (user-level, unified_logger.rs:521-522):
+    # PRI = 1*8 + severity
+    assert syslog_pri("ALERT") == 9
+    assert syslog_pri("WARNING") == 12
+    assert syslog_pri("NOTICE") == 13
+    assert syslog_pri("INFO") == 14
+    assert syslog_pri("unknown") == 14
+    # explicit facility 3 (daemon)
+    assert syslog_pri("ALERT", facility=3) == 25
 
 
 def test_column_variants(spark):
@@ -74,7 +77,7 @@ def test_column_variants(spark):
     assert row["stripped"] == "red"
     assert row["runtime"] == format_runtime(90061)
     assert row["cmd"] == truncate_cmdline("y" * 150)
-    assert row["pri"] == 25
+    assert row["pri"] == 9
 
 
 def test_plaintext_match_line(spark, sigs):
