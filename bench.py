@@ -103,24 +103,33 @@ def _cpu_speed_mt(threads: int = 32, duration: float = 1.0) -> float:
 
 
 # canonical probes on a healthy, credit-full window of this box; runs at
-# < DEGRADED_FRACTION of these are flagged (and waited out, budget allowing)
+# < DEGRADED_FRACTION of these are flagged (and waited out, budget allowing).
+# These are FLOORS: main() recalibrates upward from a run-start probe, so a
+# faster host window (observed: mt 13 -> 31 GB/s between rounds) keeps a
+# meaningful health bar instead of everything passing trivially.
 CANONICAL_CPU_MBS = 1400.0
 CANONICAL_CPU_MT_MBS = 13000.0
 DEGRADED_FRACTION = 0.6
 
-_IDLE_WAIT_BUDGET = [300.0]  # total seconds of idle-waiting across the run
+_IDLE_WAIT_BUDGET = [600.0]  # total seconds of idle-waiting across the run
 
 
-def _wait_for_idle(max_busy: float = 3.0, max_wait: float = 120.0) -> float:
+def _wait_for_idle(
+    max_busy: float = 3.0,
+    max_wait: float = 120.0,
+    min_fraction: float = DEGRADED_FRACTION,
+) -> tuple[float, float]:
     """Scaling-efficiency numbers are meaningless if something else owns
     the cores (a concurrent pytest run dropped measured 2->8 efficiency
     from 0.88 to 0.70), or if the HOST is degraded (hypervisor neighbors:
     observed 6x single-thread slowdown with an idle guest). Wait, bounded
     per-call AND by a shared total budget, for quiet + healthy; proceed
-    with a warning if it never happens. Returns the last probe (MB/s)."""
+    with a warning if it never happens. Returns the last (1t, mt) probes
+    in MB/s. `min_fraction` raises the health bar for the legs that carry
+    the scaling-efficiency gate."""
     deadline = time.time() + min(max_wait, _IDLE_WAIT_BUDGET[0])
     started = time.time()
-    speed = 0.0
+    speed = mt = 0.0
     try:
         while time.time() < deadline:
             busy = _busy_cores()
@@ -128,10 +137,10 @@ def _wait_for_idle(max_busy: float = 3.0, max_wait: float = 120.0) -> float:
             mt = _cpu_speed_mt(duration=0.5)
             if (
                 busy <= max_busy
-                and speed >= DEGRADED_FRACTION * CANONICAL_CPU_MBS
-                and mt >= DEGRADED_FRACTION * CANONICAL_CPU_MT_MBS
+                and speed >= min_fraction * CANONICAL_CPU_MBS
+                and mt >= min_fraction * CANONICAL_CPU_MT_MBS
             ):
-                return speed
+                return speed, mt
             print(
                 f"  box busy ({busy:.1f} cores) or slow "
                 f"(1t {speed:.0f}/{CANONICAL_CPU_MBS:.0f}, "
@@ -142,7 +151,7 @@ def _wait_for_idle(max_busy: float = 3.0, max_wait: float = 120.0) -> float:
             time.sleep(15)
         print("  WARNING: box never went idle+healthy; measuring anyway",
               file=sys.stderr)
-        return speed
+        return speed, mt
     finally:
         _IDLE_WAIT_BUDGET[0] = max(0.0, _IDLE_WAIT_BUDGET[0]
                                    - (time.time() - started))
@@ -203,7 +212,20 @@ def _run_scan_subprocess(master: str) -> dict:
     return json.loads(last[-1])
 
 
+def _min_of(fn, passes: int = 3) -> float:
+    times = []
+    for _ in range(passes):
+        started = time.time()
+        fn()
+        times.append(time.time() - started)
+    return round(min(times), 3)
+
+
 def _time_queries(spark) -> dict[str, float]:
+    """Per-query timings: idle-gated (the scan legs just drained the
+    host's burst credits — round-2's ungated numbers showed 17x swings on
+    byte-identical queries) and min-of-3 per query, with a cheap health
+    re-probe between queries that re-gates when the box degrades."""
     from loki_rs_spark.queries import QUERIES
 
     names = [
@@ -222,13 +244,14 @@ def _time_queries(spark) -> dict[str, float]:
         "ann_knn_join",
         "embedding_lsh_pairs",
     ]
+    _wait_for_idle()
     timings = {}
     for name in names:
+        if _cpu_speed() < 0.75 * CANONICAL_CPU_MBS:
+            _wait_for_idle()
         df = QUERIES[name](spark, SF_DIR)
         _noop(df)  # warm (JIT + python daemons)
-        started = time.time()
-        _noop(df)
-        timings[name] = round(time.time() - started, 3)
+        timings[name] = _min_of(lambda: _noop(df))
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
     timings["ngram_hot_shingle_guard"] = _time_hot_shingle_guard(spark)
     print(
@@ -253,14 +276,13 @@ def _time_hot_shingle_guard(spark) -> float:
     shingled = spark.createDataFrame(rows, "uid long, shingles array<string>")
     out = ngram_jaccard_pairs_from(shingled, threshold=0.5, df_cap=100)
     _noop(out)  # warm
-    started = time.time()
-    _noop(out)
-    return round(time.time() - started, 3)
+    return _min_of(lambda: _noop(out))
 
 
 def _best_scan(master: str, attempts: int = 1,
                good_enough: float | None = None,
-               baseline_thr: float | None = None) -> dict:
+               baseline_thr: float | None = None,
+               min_fraction: float = DEGRADED_FRACTION) -> dict:
     """Run the scan worker up to `attempts` times (idle-gated, fresh JVM
     each) and keep the best throughput. Multi-thread levels are the ones a
     noisy neighbour slows down, so they get retries; each worker already
@@ -268,9 +290,10 @@ def _best_scan(master: str, attempts: int = 1,
     once thr/baseline_thr reaches the target ratio."""
     best: dict = {}
     for i in range(attempts):
-        probe = _wait_for_idle()
+        probe, probe_mt = _wait_for_idle(min_fraction=min_fraction)
         r = _run_scan_subprocess(master)
         r["cpu_probe_mbs"] = round(probe, 1)
+        r["cpu_probe_mt_mbs"] = round(probe_mt, 1)
         print(f"  {master} attempt {i + 1}: {r}", file=sys.stderr)
         if not best or r["elapsed"] < best["elapsed"]:
             best = r
@@ -284,18 +307,60 @@ def _best_scan(master: str, attempts: int = 1,
 
 
 def main() -> None:
+    global CANONICAL_CPU_MBS, CANONICAL_CPU_MT_MBS
     total_started = time.time()
     print(f"bench: sf_dir={SF_DIR} rep={BENCH_REP}", file=sys.stderr)
+    # run-start recalibration: the bench starts before any credit burn, so
+    # this probe sees the host's current full-credit capability; take the
+    # max with the recorded floor so the health gates track THIS window.
+    CANONICAL_CPU_MBS = max(CANONICAL_CPU_MBS, _cpu_speed())
+    CANONICAL_CPU_MT_MBS = max(CANONICAL_CPU_MT_MBS, _cpu_speed_mt())
+    print(
+        f"  canonical probes for this run: 1t {CANONICAL_CPU_MBS:.0f}, "
+        f"mt {CANONICAL_CPU_MT_MBS:.0f} MB/s",
+        file=sys.stderr,
+    )
 
     # local[2] is nearly contention-immune (30 spare cores) -> one attempt;
     # local[8] carries the north-rule N->4N criterion -> retry under noise.
-    r2 = _best_scan("local[2]", attempts=1)
+    # Both gate legs require FULL-health probes (0.85x canonical), not the
+    # 0.6x degraded floor: round-2's driver run recorded 0.797 efficiency
+    # purely because the local[8] leg measured on a drained-credit window
+    # while local[2] measured on a full one.
+    r2 = _best_scan("local[2]", attempts=1, min_fraction=0.85)
     thr2 = r2["turns"] / r2["elapsed"]
     r8 = _best_scan("local[8]", attempts=3,
-                    good_enough=4 * 0.82, baseline_thr=thr2)
+                    good_enough=4 * 0.82, baseline_thr=thr2,
+                    min_fraction=0.85)
+    # probe-parity fairness: the 2->8 ratio is only meaningful if both
+    # legs measured under comparable host health. Re-run the weaker-probed
+    # leg (either direction — a throttled local[2] flatters the ratio just
+    # as dishonestly as a throttled local[8] hurts it).
+    for _ in range(2):
+        p2 = r2.get("cpu_probe_mt_mbs") or 0.0
+        p8 = r8.get("cpu_probe_mt_mbs") or 0.0
+        if p8 < 0.9 * p2:
+            r8b = _best_scan("local[8]", attempts=1, min_fraction=0.85)
+            if r8b["elapsed"] < r8["elapsed"]:
+                r8 = r8b
+            else:
+                r8["cpu_probe_mt_mbs"] = max(
+                    p8, r8b.get("cpu_probe_mt_mbs") or 0.0
+                )
+        elif p2 < 0.9 * p8:
+            r2b = _best_scan("local[2]", attempts=1, min_fraction=0.85)
+            if r2b["elapsed"] < r2["elapsed"]:
+                r2 = r2b
+            else:
+                r2["cpu_probe_mt_mbs"] = max(
+                    p2, r2b.get("cpu_probe_mt_mbs") or 0.0
+                )
+        else:
+            break
     r32 = _best_scan(f"local[{CPUS}]", attempts=2,
                      good_enough=(CPUS / 2) * 0.55, baseline_thr=thr2)
 
+    thr2 = r2["turns"] / r2["elapsed"]
     thr8 = r8["turns"] / r8["elapsed"]
     thr32 = r32["turns"] / r32["elapsed"]
     eff_2_8 = (thr8 / thr2) / 4
@@ -335,6 +400,14 @@ def main() -> None:
             "local2": r2.get("cpu_probe_mbs"),
             "local8": r8.get("cpu_probe_mbs"),
             f"local{CPUS}": r32.get("cpu_probe_mbs"),
+        },
+        # aggregate multi-thread probe per leg (burst-credit state; the
+        # probe the 2->8 parity retry gates on)
+        "cpu_probe_mt_canonical_mbs": CANONICAL_CPU_MT_MBS,
+        "cpu_probe_mt_mbs": {
+            "local2": r2.get("cpu_probe_mt_mbs"),
+            "local8": r8.get("cpu_probe_mt_mbs"),
+            f"local{CPUS}": r32.get("cpu_probe_mt_mbs"),
         },
     }
     print(json.dumps(result))

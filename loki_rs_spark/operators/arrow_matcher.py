@@ -37,6 +37,7 @@ from ..signatures.model import SignatureSet
 from .matcher import (
     MAX_YARA_MATCHES,
     ExtBits,
+    TextOps,
     _engine_for,
     _MaskBackend,
     format_matched_data,
@@ -136,12 +137,17 @@ def match_record_batch(engine, batch: pa.RecordBatch) -> tuple[pa.Array, pa.Arra
     ya_counts = np.zeros(n, dtype=np.int64)
     ya_rows: dict[int, list[dict]] = {}
     text_cache: dict[int, str] = {}
+    text_ops = None
     for compiled in engine.yara:
         masks = [_string_mask(text, s) for s in compiled.rule.strings]
+        if compiled.uses_text_ops and text_ops is None:
+            text_ops = TextOps(text)
         backend = _MaskBackend(
             [(ident, m) for (ident, _), m in zip(compiled.patterns, masks)],
             n,
             ext,
+            text_ops=text_ops,
+            strings_by_ident=compiled.strings_by_ident,
         )
         fired = render_condition(compiled.ast, backend)
         for idx in np.nonzero(fired)[0]:
@@ -296,12 +302,17 @@ def match_scores_record_batch(
         fname_sources.append((mask, ioc.score))
 
     yara_sources = []
+    text_ops = None
     for compiled in engine.yara:
         masks = [_string_mask(text, s) for s in compiled.rule.strings]
+        if compiled.uses_text_ops and text_ops is None:
+            text_ops = TextOps(text)
         backend = _MaskBackend(
             [(ident, m) for (ident, _), m in zip(compiled.patterns, masks)],
             n,
             ext,
+            text_ops=text_ops,
+            strings_by_ident=compiled.strings_by_ident,
         )
         fired = render_condition(compiled.ast, backend)
         yara_sources.append((np.asarray(fired, dtype=bool), compiled.rule.score))

@@ -105,6 +105,24 @@ class _CompiledYaraRule:
     rule: YaraRule
     patterns: list[tuple[str, re.Pattern]]  # (identifier, capture regex)
     ast: object  # parsed condition (signatures/conditions.py)
+    strings_by_ident: dict  # identifier -> YaraString
+    uses_text_ops: bool  # condition contains count/at/in/offset nodes
+
+
+def _np_cmp(op: str, arr: np.ndarray, value: int) -> np.ndarray:
+    if op == "eq":
+        return arr == value
+    if op == "ne":
+        return arr != value
+    if op == "gt":
+        return arr > value
+    if op == "ge":
+        return arr >= value
+    if op == "lt":
+        return arr < value
+    if op == "le":
+        return arr <= value
+    raise ValueError(f"unknown cmp op {op}")  # pragma: no cover
 
 
 class ExtBits:
@@ -126,20 +144,141 @@ class ExtBits:
         return (self.bits >> idx) & 1 == 1
 
 
+class TextOps:
+    """Vectorized count/at/in/offset primitives over a batch's text column
+    for the yara count/offset operators (plain-ascii-literal subset,
+    guaranteed by conditions.validate_condition_ops). Offsets are
+    CHARACTER offsets — the matched_strings '@ {offset}' convention —
+    computed with codepoint-exact kernels (utf8_slice_codeunits slices by
+    codepoint; RE2 '.' consumes one codepoint)."""
+
+    def __init__(self, arr) -> None:
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        self.arr = arr
+
+    def counts(self, needle: str, nocase: bool) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        out = pc.count_substring(self.arr, needle, ignore_case=nocase)
+        return (
+            pc.fill_null(out, 0)
+            .to_numpy(zero_copy_only=False)
+            .astype("int64")
+        )
+
+    def at_mask(self, needle: str, nocase: bool, offset: int) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        sliced = pc.utf8_slice_codeunits(
+            self.arr, offset, offset + len(needle)
+        )
+        if nocase:
+            sliced = pc.utf8_lower(sliced)
+            needle = needle.lower()
+        return (
+            pc.fill_null(pc.equal(sliced, needle), False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+
+    def in_mask(
+        self, needle: str, nocase: bool, lo: int, hi: int
+    ) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        from ..signatures.compile import regex_literal
+
+        flags = "(?s)(?i)" if nocase else "(?s)"
+        pat = f"{flags}^.{{{lo},{hi}}}(?:{regex_literal(needle)})"
+        return (
+            pc.fill_null(pc.match_substring_regex(self.arr, pat), False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+
+    def nth_offsets(
+        self, needle: str, nocase: bool, index: int, rows: np.ndarray
+    ) -> dict[int, int]:
+        """Character offset of the 1-based `index`-th occurrence for each
+        row in `rows` (rows with fewer occurrences are omitted). Python
+        str.find walk — only runs on the sparse mask-true rows."""
+        needle_f = needle.lower() if nocase else needle
+        step = len(needle_f)
+        out: dict[int, int] = {}
+        for i in rows:
+            i = int(i)
+            t = self.arr[i].as_py()
+            if t is None:
+                continue
+            tf = t.lower() if nocase else t
+            pos, found, start = -1, 0, 0
+            while found < index:
+                pos = tf.find(needle_f, start)
+                if pos < 0:
+                    break
+                start = pos + step
+                found += 1
+            if found == index and pos >= 0:
+                out[i] = pos
+        return out
+
+
 class _MaskBackend:
     """Condition evaluation over numpy boolean masks — fully vectorized:
-    every AST node maps to one array op over the whole batch."""
+    every AST node maps to one array op over the whole batch (the @[i]
+    offset walk alone is per-row, on mask-true rows only)."""
 
     def __init__(
         self,
         ident_masks: list[tuple[str, np.ndarray]],
         n_rows: int,
         ext,
+        text_ops: TextOps | None = None,
+        strings_by_ident: dict | None = None,
     ) -> None:
         self.ident_masks = ident_masks
         self.masks = dict(ident_masks)
         self.n_rows = n_rows
         self.ext = ext
+        self.text_ops = text_ops
+        self.strings_by_ident = strings_by_ident or {}
+
+    def _string(self, ident: str):
+        s = self.strings_by_ident.get(ident)
+        if s is None or self.text_ops is None:
+            raise RuntimeError(
+                f"count/offset operator on {ident} without text ops wired"
+            )  # pragma: no cover - validate_condition_ops guards this
+        return s
+
+    def count_cmp(self, node) -> np.ndarray:
+        s = self._string(node.identifier)
+        counts = self.text_ops.counts(s.pattern, s.nocase)
+        return _np_cmp(node.op, counts, node.value)
+
+    def at_expr(self, node) -> np.ndarray:
+        s = self._string(node.identifier)
+        return self.text_ops.at_mask(s.pattern, s.nocase, node.offset)
+
+    def in_expr(self, node) -> np.ndarray:
+        s = self._string(node.identifier)
+        return self.text_ops.in_mask(s.pattern, s.nocase, node.lo, node.hi)
+
+    def offset_cmp(self, node) -> np.ndarray:
+        from ..signatures.conditions import cmp_int
+
+        s = self._string(node.identifier)
+        base = self.masks[node.identifier]
+        offsets = self.text_ops.nth_offsets(
+            s.pattern, s.nocase, node.index, np.nonzero(base)[0]
+        )
+        out = np.zeros(self.n_rows, dtype=bool)
+        for i, pos in offsets.items():
+            out[i] = cmp_int(node.op, pos, node.value)
+        return out
 
     def str_ref(self, ident: str) -> np.ndarray:
         return self.masks[ident]
@@ -189,13 +328,22 @@ class CompiledEngine:
             )
             for ioc in sigs.filename_iocs
         ]
+        from ..signatures.conditions import collect_string_op_nodes
+
         self.yara: list[_CompiledYaraRule] = []
         for rule in sigs.yara_rules:
             patterns = [
                 (s.identifier, capture_regex(s)) for s in rule.strings
             ]
+            ast = rule.condition_ast
             self.yara.append(
-                _CompiledYaraRule(rule, patterns, rule.condition_ast)
+                _CompiledYaraRule(
+                    rule,
+                    patterns,
+                    ast,
+                    {s.identifier: s for s in rule.strings},
+                    bool(collect_string_op_nodes(ast)),
+                )
             )
         self.atom_index = {
             atom: i for i, atom in enumerate(collect_ext_atoms(sigs))
@@ -230,11 +378,16 @@ class CompiledEngine:
         # P5: YARA subset — one vectorized pass per string pattern, then
         # per-rule condition-AST algebra on the masks; offsets only for
         # hit rows.
+        text_ops: TextOps | None = None
         for compiled in self.yara:
             masks = [
                 text.str.contains(rx, regex=True, na=False).to_numpy()
                 for _, rx in compiled.patterns
             ]
+            if compiled.uses_text_ops and text_ops is None:
+                import pyarrow as pa
+
+                text_ops = TextOps(pa.Array.from_pandas(text))
             backend = _MaskBackend(
                 [
                     (ident, m)
@@ -242,6 +395,8 @@ class CompiledEngine:
                 ],
                 n,
                 ext,
+                text_ops=text_ops,
+                strings_by_ident=compiled.strings_by_ident,
             )
             fired = render_condition(compiled.ast, backend)
             hits = np.asarray(fired, dtype=bool).nonzero()[0]

@@ -113,6 +113,7 @@ class _SqlCondBackend:
             (s.identifier, _yara_string_sql(s)) for s in rule.strings
         ]
         self.str_conds = dict(self.ident_conds)
+        self.strings_by_ident = {s.identifier: s for s in rule.strings}
 
     def str_ref(self, ident: str) -> str:
         return f"({self.str_conds[ident]})"
@@ -156,6 +157,40 @@ class _SqlCondBackend:
             return f"regexp_matches({col}, {_q(v)})"
         raise ValueError(f"unknown ext op {p.op}")  # pragma: no cover
 
+    def _folded(self, ident: str) -> tuple[str, str]:
+        """(text SQL expression, needle) with case folded for nocase."""
+        s = self.strings_by_ident[ident]
+        if s.nocase:
+            return "lower(text)", s.pattern.lower()
+        return "text", s.pattern
+
+    def count_cmp(self, node) -> str:
+        col, needle = self._folded(node.identifier)
+        count = (
+            f"((strlen({col}) - strlen(replace({col}, {_q(needle)}, '')))"
+            f" // {len(needle)})"
+        )
+        return f"({count} {_SQL_CMP[node.op]} {node.value})"
+
+    def at_expr(self, node) -> str:
+        col, needle = self._folded(node.identifier)
+        return (
+            f"(substr({col}, {node.offset + 1}, {len(needle)})"
+            f" = {_q(needle)})"
+        )
+
+    def in_expr(self, node) -> str:
+        col, needle = self._folded(node.identifier)
+        pos = f"position({_q(needle)} IN substr({col}, {node.lo + 1}))"
+        return f"({pos} > 0 AND {pos} <= {node.hi - node.lo + 1})"
+
+    def offset_cmp(self, node):
+        from .signatures.conditions import YaraUnsupportedError
+
+        raise YaraUnsupportedError(
+            f"@{node.identifier[1:]}[{node.index}] has no SQL rendering"
+        )
+
     def and_(self, items):
         return "(" + " AND ".join(items) + ")"
 
@@ -166,15 +201,23 @@ class _SqlCondBackend:
         return f"(NOT {x})"
 
 
+_SQL_CMP = {
+    "eq": "=",
+    "ne": "<>",
+    "gt": ">",
+    "ge": ">=",
+    "lt": "<",
+    "le": "<=",
+}
+
+
 def _yara_condition(rule) -> str:
     from .signatures.conditions import render_condition
 
     return render_condition(rule.condition_ast, _SqlCondBackend(rule))
 
 
-def _base_reason_cases(sigs: SignatureSet) -> list[str]:
-    """Reason candidates in the reference's discovery order:
-    filename -> md5 -> sha1 -> sha256 -> YARA (rule definition order)."""
+def _fname_reason_cases(sigs: SignatureSet) -> list[str]:
     cases: list[str] = []
     for ioc in sigs.filename_iocs:
         msg = f"File Name IOC matched PATTERN: {ioc.pattern}"
@@ -182,16 +225,33 @@ def _base_reason_cases(sigs: SignatureSet) -> list[str]:
             f"CASE WHEN {_fname_condition(ioc)} THEN "
             f"struct_pack(msg := {_q(msg)}, score := {ioc.score}) END"
         )
+    return cases
+
+
+def _hash_reason_cases(
+    sigs: SignatureSet, source_kind: str = "file"
+) -> list[str]:
+    msg_prefix = (
+        "Process Executable Hash Match HASH: "
+        if source_kind == "process"
+        else "HASH match with IOC HASH: "
+    )
+    cases: list[str] = []
     for hash_type in ("md5", "sha1", "sha256"):
         for ioc in sigs.hashes_of_type(hash_type):
             pred = _hash_predicate(hash_type, ioc.hash_value)
             if pred is None:
                 continue  # unmatchable in the deterministic dataset
-            msg = f"HASH match with IOC HASH: {ioc.hash_value}"
+            msg = f"{msg_prefix}{ioc.hash_value}"
             cases.append(
                 f"CASE WHEN {pred} THEN "
                 f"struct_pack(msg := {_q(msg)}, score := {ioc.score}) END"
             )
+    return cases
+
+
+def _yara_reason_cases(sigs: SignatureSet) -> list[str]:
+    cases: list[str] = []
     for rule in sigs.yara_rules:
         msg = f"YARA match with rule {rule.name}"
         cases.append(
@@ -199,6 +259,16 @@ def _base_reason_cases(sigs: SignatureSet) -> list[str]:
             f"struct_pack(msg := {_q(msg)}, score := {rule.score}) END"
         )
     return cases
+
+
+def _base_reason_cases(sigs: SignatureSet) -> list[str]:
+    """Reason candidates in the reference's discovery order:
+    filename -> md5 -> sha1 -> sha256 -> YARA (rule definition order)."""
+    return (
+        _fname_reason_cases(sigs)
+        + _hash_reason_cases(sigs)
+        + _yara_reason_cases(sigs)
+    )
 
 
 def _c2_reason_list(sigs: SignatureSet) -> str:
@@ -247,12 +317,22 @@ def scan_ctes(
     source_cte: str | None = None,
     source_table: str = "transcripts",
     prefix: str = "",
+    source_kind: str = "file",
 ) -> str:
     """The shared WITH-chain: source -> scanned -> evaluated (reasons,
     score, level). ``evaluated`` keeps below-threshold rows (level NULL);
     ``routed`` applies the final filter. `prefix` namespaces the chain so
-    two sources can be scanned in one statement (U1 union)."""
-    base_cases = ",\n      ".join(_base_reason_cases(sigs))
+    two sources can be scanned in one statement (U1 union).
+    `source_kind='process'` slices the hash-reason list to first-of-three
+    with the process message (process_check.rs:367-397)."""
+    fname_cases = ",\n      ".join(_fname_reason_cases(sigs)) or "NULL"
+    hash_cases = ",\n      ".join(
+        _hash_reason_cases(sigs, source_kind)
+    ) or "NULL"
+    yara_cases = ",\n      ".join(_yara_reason_cases(sigs)) or "NULL"
+    hash_list = f"list_filter([\n      {hash_cases}\n        ], x -> x IS NOT NULL)"
+    if source_kind == "process":
+        hash_list = f"list_slice({hash_list}, 1, 1)"
     cheap, fp = _scan_filters(sigs, cfg)
     c2 = _c2_reason_list(sigs)
     cte = source_cte or transcripts_duckdb_cte("", rep=rep)
@@ -264,10 +344,14 @@ def scan_ctes(
 {p}with_reasons AS (
   SELECT *,
     list_slice(
-      list_concat(
+      list_concat(list_concat(list_concat(
         list_filter([
-      {base_cases}
+      {fname_cases}
         ], x -> x IS NOT NULL),
+        {hash_list}),
+        list_filter([
+      {yara_cases}
+        ], x -> x IS NOT NULL)),
         {c2}),
       1, {cfg.max_matches}) AS reasons
   FROM {p}scanned
@@ -372,19 +456,31 @@ def filename_ioc_hits_sql(sigs: SignatureSet, rep: int) -> str:
     return f"WITH {cte}\n{union}"
 
 
-def yara_extvar_hits_sql(sigs: SignatureSet, rep: int) -> str:
-    from .queries import EXTVAR_RULE_PREFIXES
-
+def _yara_subset_hits_sql(
+    sigs: SignatureSet, rep: int, prefixes: tuple[str, ...]
+) -> str:
     cte = transcripts_duckdb_cte("", rep=rep)
     selects = [
         f"SELECT conv_id, turn_idx, tool, {_q(rule.name)} AS rule, "
         f"{rule.score} AS score FROM transcripts "
         f"WHERE {_yara_condition(rule)}"
         for rule in sigs.yara_rules
-        if rule.name.startswith(EXTVAR_RULE_PREFIXES)
+        if rule.name.startswith(prefixes)
     ]
     union = "\nUNION ALL\n".join(selects)
     return f"WITH {cte}\n{union}"
+
+
+def yara_extvar_hits_sql(sigs: SignatureSet, rep: int) -> str:
+    from .queries import EXTVAR_RULE_PREFIXES
+
+    return _yara_subset_hits_sql(sigs, rep, EXTVAR_RULE_PREFIXES)
+
+
+def yara_count_offset_hits_sql(sigs: SignatureSet, rep: int) -> str:
+    from .queries import COUNT_OFFSET_RULE_PREFIXES
+
+    return _yara_subset_hits_sql(sigs, rep, COUNT_OFFSET_RULE_PREFIXES)
 
 
 def c2_hits_sql(sigs: SignatureSet, rep: int) -> str:
@@ -557,6 +653,7 @@ def union_severity_counts_sql(
         source_cte=event_turns_duckdb_cte(),
         source_table="event_turns",
         prefix="e_",
+        source_kind="process",
     )
     return f"""WITH {t_chain},
 {e_chain}

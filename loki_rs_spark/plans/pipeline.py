@@ -36,6 +36,7 @@ from ..operators.ioc_join import (
     REASON_TYPE,
     anti_join_fp_hashes,
     c2_reason_array,
+    c2_text_gate,
     filename_reason_array,
     hash_reason_array,
     reason_struct,
@@ -96,11 +97,16 @@ def scan_transcripts(
     sigs: SignatureSet,
     cfg: ScanConfig = DEFAULT_CONFIG,
     matcher: str = "arrow",
+    source_kind: str = "file",
 ) -> ScanResult:
     """`matcher` picks the P5/J3 implementation: 'arrow' (mapInArrow +
     pyarrow compute kernels — the scale path), 'pandas' (Arrow-batched
     pandas UDF), or 'catalyst' (static per-rule predicates, no
-    matched-string capture). All three are routed-row-equal (tests)."""
+    matched-string capture). All three are routed-row-equal (tests).
+
+    `source_kind` ('file' | 'process') selects the hash-IOC reason
+    semantics: the reference's process scan emits only the first matching
+    hash type, with a process-specific message (see hash_reason_array)."""
     if matcher not in ("arrow", "pandas", "catalyst"):
         raise ValueError(f"unknown matcher impl: {matcher}")
     df = apply_exclusions(transcripts, cfg.exclude_patterns)
@@ -168,7 +174,9 @@ def scan_transcripts(
             else F.array().cast(f"array<{REASON_TYPE}>")
         )
 
-    df, hash_reasons, hash_hit = hash_reason_array(spark, df, sigs)
+    df, hash_reasons, hash_hit = hash_reason_array(
+        spark, df, sigs, source_kind=source_kind
+    )
     c2_reasons = c2_reason_array(F.col("text"), list(sigs.c2_iocs))
 
     # Sparse fast path: the overwhelming majority of turns match nothing,
@@ -184,9 +192,10 @@ def scan_transcripts(
         cfg.max_matches,
     )
     # any-candidate predicate: matcher output non-empty, any hash-IOC join
-    # hit, or a host-bearing text ('.' is necessary for any C2 token).
-    # Conservative — false positives just take the slow branch.
-    candidate = hash_hit | F.contains(F.col("text"), F.lit("."))
+    # hit, or a C2 server literal present in the text (c2_text_gate — a
+    # necessary condition for any C2 reason). Conservative — false
+    # positives just take the slow branch.
+    candidate = hash_hit | c2_text_gate(F.col("text"), list(sigs.c2_iocs))
     if matcher in ("arrow", "pandas"):
         candidate = (
             (F.size(F.col("_m.fname")) > 0)
@@ -258,6 +267,7 @@ def scan_transcripts_scores(
     transcripts: DataFrame,
     sigs: SignatureSet,
     cfg: ScanConfig = DEFAULT_CONFIG,
+    source_kind: str = "file",
 ) -> ScanResult:
     """Score-only rendering of the scan pipeline for aggregate consumers
     (severity counts, per-conversation rollups, counters): identical
@@ -293,7 +303,9 @@ def scan_transcripts_scores(
     sudf = make_arrow_score_matcher_udf(spark, sigs)
     df = df.withColumn("_s", sudf(gated_text, gated_tool, ext_bits_col(sigs)))
 
-    df, hash_reasons, hash_hit = hash_reason_array(spark, df, sigs)
+    df, hash_reasons, hash_hit = hash_reason_array(
+        spark, df, sigs, source_kind=source_kind
+    )
     c2_reasons = c2_reason_array(F.col("text"), list(sigs.c2_iocs))
     hash_scores = F.transform(_nz(hash_reasons), lambda r: r["score"])
     c2_scores = F.transform(_nz(c2_reasons), lambda r: r["score"])
@@ -307,7 +319,7 @@ def scan_transcripts_scores(
     )
     candidate = (
         hash_hit
-        | F.contains(F.col("text"), F.lit("."))
+        | c2_text_gate(F.col("text"), list(sigs.c2_iocs))
         | (F.size(F.col("_s.fname")) > 0)
         | (F.size(F.col("_s.yara")) > 0)
     )
@@ -342,7 +354,13 @@ def scan_transcripts_scores(
 
 class _CatalystCondBackend:
     """YARA condition AST -> Catalyst Column predicates (the pure-JVM
-    matcher rendering; whole-stage codegen'd). One instance per rule."""
+    matcher rendering; whole-stage codegen'd). One instance per rule.
+
+    Count/at/in operators render as JVM expressions on the (validated)
+    plain-literal subset: regexp_count for #, substring equality for at,
+    locate for in. @[i] (i-th occurrence offset) has no Catalyst
+    primitive and raises — rules using it route through the UDF matchers
+    only."""
 
     def __init__(self, rule) -> None:
         from ..signatures.compile import boolean_regex
@@ -352,6 +370,47 @@ class _CatalystCondBackend:
             for s in rule.strings
         ]
         self.str_cols = dict(self.ident_cols)
+        self.strings_by_ident = {s.identifier: s for s in rule.strings}
+
+    def _folded(self, ident: str) -> tuple[Column, str]:
+        """(text column, needle) with case folded for nocase strings."""
+        s = self.strings_by_ident[ident]
+        if s.nocase:
+            return F.lower(F.col("text")), s.pattern.lower()
+        return F.col("text"), s.pattern
+
+    def count_cmp(self, node) -> Column:
+        from ..signatures.compile import regex_literal
+
+        s = self.strings_by_ident[node.identifier]
+        pat = ("(?i)" if s.nocase else "") + regex_literal(s.pattern)
+        counts = F.regexp_count(F.col("text"), F.lit(pat))
+        ops = {
+            "eq": counts == node.value,
+            "ne": counts != node.value,
+            "gt": counts > node.value,
+            "ge": counts >= node.value,
+            "lt": counts < node.value,
+            "le": counts <= node.value,
+        }
+        return ops[node.op]
+
+    def at_expr(self, node) -> Column:
+        col, needle = self._folded(node.identifier)
+        return F.substring(col, node.offset + 1, len(needle)) == needle
+
+    def in_expr(self, node) -> Column:
+        col, needle = self._folded(node.identifier)
+        pos = F.locate(needle, col, node.lo + 1)
+        return (pos > 0) & (pos <= node.hi + 1)
+
+    def offset_cmp(self, node) -> Column:
+        from ..signatures.conditions import YaraUnsupportedError
+
+        raise YaraUnsupportedError(
+            f"@{node.identifier[1:]}[{node.index}] has no Catalyst "
+            "rendering; use the arrow/pandas matcher for this rule set"
+        )
 
     def str_ref(self, ident: str) -> Column:
         return self.str_cols[ident]

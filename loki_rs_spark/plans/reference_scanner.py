@@ -160,14 +160,57 @@ def _ext_vars(tool: str, role: str) -> dict[str, str]:
 
 
 class _RowBackend:
-    """Condition AST -> plain Python booleans for one row."""
+    """Condition AST -> plain Python booleans for one row. Count/at/in/
+    offset operators evaluate with plain str ops on the row text (the
+    plain-literal subset validate_condition_ops guarantees), independent
+    of every other backend's kernels."""
 
     def __init__(
-        self, ident_fired: list[tuple[str, bool]], ext: dict
+        self,
+        ident_fired: list[tuple[str, bool]],
+        ext: dict,
+        text: str = "",
+        strings_by_ident: dict | None = None,
     ) -> None:
         self.ident_fired = ident_fired
         self.fired = dict(ident_fired)
         self.ext = ext
+        self.text = text
+        self.strings_by_ident = strings_by_ident or {}
+
+    def _folded(self, ident: str) -> tuple[str, str]:
+        s = self.strings_by_ident[ident]
+        if s.nocase:
+            return self.text.lower(), s.pattern.lower()
+        return self.text, s.pattern
+
+    def count_cmp(self, node) -> bool:
+        from ..signatures.conditions import cmp_int
+
+        text, needle = self._folded(node.identifier)
+        return cmp_int(node.op, text.count(needle), node.value)
+
+    def at_expr(self, node) -> bool:
+        text, needle = self._folded(node.identifier)
+        return text.startswith(needle, node.offset)
+
+    def in_expr(self, node) -> bool:
+        text, needle = self._folded(node.identifier)
+        pos = text.find(needle, node.lo)
+        return 0 <= pos <= node.hi
+
+    def offset_cmp(self, node) -> bool:
+        from ..signatures.conditions import cmp_int
+
+        text, needle = self._folded(node.identifier)
+        pos, found, start = -1, 0, 0
+        while found < node.index:
+            pos = text.find(needle, start)
+            if pos < 0:
+                return False
+            start = pos + len(needle)
+            found += 1
+        return cmp_int(node.op, pos, node.value)
 
     def str_ref(self, ident: str) -> bool:
         return self.fired[ident]
@@ -231,9 +274,13 @@ def scan_turn(
     sigs: SignatureSet,
     cfg: ScanConfig = DEFAULT_CONFIG,
     role: str = "user",
+    source_kind: str = "file",
 ) -> RoutedRow | None:
     """Returns the routed row, or None if the turn is excluded / FP /
-    unmatched / below the notice threshold."""
+    unmatched / below the notice threshold. `source_kind='process'`
+    applies the reference's process-scan hash semantics: first matching
+    hash type only, message "Process Executable Hash Match HASH: {h}"
+    (src/modules/process_check.rs:367-397)."""
     for pattern in cfg.exclude_patterns:
         if re.search(pattern, tool):
             return None
@@ -271,16 +318,25 @@ def scan_turn(
     fp_values = {h.hash_value for h in sigs.fp_hashes}
     if any(d in fp_values for d in digests.values()):
         return None
+    hash_msg = (
+        "Process Executable Hash Match HASH: "
+        if source_kind == "process"
+        else "HASH match with IOC HASH: "
+    )
+    hash_pushed = False
     for hash_type in ("md5", "sha1", "sha256"):
+        if hash_pushed and source_kind == "process":
+            break  # process scan: first-of-three only
         for ioc in sigs.hashes_of_type(hash_type):
             if ioc.hash_value == digests[hash_type]:
                 push(
                     Reason(
-                        f"HASH match with IOC HASH: {ioc.hash_value}",
+                        f"{hash_msg}{ioc.hash_value}",
                         ioc.score,
                         ioc.description,
                     )
                 )
+                hash_pushed = True
                 break  # at most one match per hash type
 
     # 3. YARA subset, rules in definition order; condition AST evaluated
@@ -293,7 +349,12 @@ def scan_turn(
             occurrences = _string_occurrences(s, text)
             ident_fired.append((s.identifier, bool(occurrences)))
             per_string.append((s.identifier, occurrences))
-        backend = _RowBackend(ident_fired, ext)
+        backend = _RowBackend(
+            ident_fired,
+            ext,
+            text=text,
+            strings_by_ident={s.identifier: s for s in rule.strings},
+        )
         if render_condition(rule.condition_ast, backend):
             matched_strings = [
                 f"{ident}: {format_matched_data(data)} @ {start}"

@@ -191,14 +191,15 @@ def q_filename_ioc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTVAR_RULE_PREFIXES = ("ExtVar_", "Fullword_")
+COUNT_OFFSET_RULE_PREFIXES = ("Count_", "At_", "In_")
 
 
-def q_yara_extvar_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 external variables + fullword in isolation: the Arrow matcher
-    over raw transcripts, keeping only the rules whose conditions exercise
-    the reference's 5 scan globals (src/main.rs:857-871) or the fullword
-    modifier. Oracle-checked against an independent SQL rendering of the
-    same conditions."""
+def _yara_rule_subset_hits(
+    spark: SparkSession, sf_dir: str, prefixes: tuple[str, ...]
+) -> DataFrame:
+    """The Arrow matcher over raw transcripts, keeping only the rules
+    whose names carry the given prefixes — isolates one condition-language
+    feature family for oracle checking."""
     from .operators.arrow_matcher import make_arrow_matcher_udf
     from .operators.ext_bits import ext_bits_col
 
@@ -206,9 +207,7 @@ def q_yara_extvar_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
     audf = make_arrow_matcher_udf(spark, sigs)
     rule_names = [
-        r.name
-        for r in sigs.yara_rules
-        if r.name.startswith(EXTVAR_RULE_PREFIXES)
+        r.name for r in sigs.yara_rules if r.name.startswith(prefixes)
     ]
     return (
         df.withColumn(
@@ -224,6 +223,23 @@ def q_yara_extvar_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.score").alias("score"),
         )
     )
+
+
+def q_yara_extvar_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 external variables + fullword in isolation: only the rules whose
+    conditions exercise the reference's 5 scan globals
+    (src/main.rs:857-871) or the fullword modifier. Oracle-checked against
+    an independent SQL rendering of the same conditions."""
+    return _yara_rule_subset_hits(spark, sf_dir, EXTVAR_RULE_PREFIXES)
+
+
+def q_yara_count_offset_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 count/offset operators in isolation ('#m >= 3', '$b at 0',
+    '$t in (2..8) and #t == 1' — the yara-x operators of
+    src/main.rs:780-872 on the validated plain-literal subset, see
+    signatures/conditions.py). Oracle-checked against an independent
+    DuckDB rendering (replace-count arithmetic + substr/position)."""
+    return _yara_rule_subset_hits(spark, sf_dir, COUNT_OFFSET_RULE_PREFIXES)
 
 
 def q_c2_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,13 +315,16 @@ def q_conv_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_union_severity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 module union (src/main.rs:1410-1508): the events table re-shaped
     into the turn schema, scanned by the SAME pipeline, unioned with the
-    transcript matches — per-source severity counts."""
+    transcript matches — per-source severity counts. The event side runs
+    with source_kind='process': first-of-three hash-IOC semantics
+    (src/modules/process_check.rs:367-397), proven by a planted event turn
+    whose md5 AND sha256 are both IOC-listed."""
     from .sources.event_turns import load_event_turns
 
     sigs = bundled_signatures()
     t_routed = _scan_scores(spark, sf_dir).routed
     e_routed = scan_transcripts_scores(
-        spark, load_event_turns(spark, sf_dir), sigs
+        spark, load_event_turns(spark, sf_dir), sigs, source_kind="process"
     ).routed
     t_counts = (
         t_routed.groupBy("level")
@@ -1053,6 +1072,7 @@ QUERIES = {
     "hash_ioc_hits": q_hash_ioc_hits,
     "filename_ioc_hits": q_filename_ioc_hits,
     "yara_extvar_hits": q_yara_extvar_hits,
+    "yara_count_offset_hits": q_yara_count_offset_hits,
     "c2_hits": q_c2_hits,
     "archive_child_matches": q_archive_child_matches,
     "per_conv_rollup": q_per_conv_rollup,
@@ -1098,6 +1118,7 @@ def oracle_queries() -> dict[str, str]:
         "hash_ioc_hits": o.hash_ioc_hits_sql(sigs, rep),
         "filename_ioc_hits": o.filename_ioc_hits_sql(sigs, rep),
         "yara_extvar_hits": o.yara_extvar_hits_sql(sigs, rep),
+        "yara_count_offset_hits": o.yara_count_offset_hits_sql(sigs, rep),
         "c2_hits": o.c2_hits_sql(sigs, rep),
         "archive_child_matches": o.archive_child_matches_sql(sigs, cfg, rep),
         "per_conv_rollup": o.per_conv_rollup_sql(sigs, cfg, rep),

@@ -33,15 +33,43 @@ YaraUnsupportedError at parse time rather than silently misfiring):
     expr     := and_expr ('or' and_expr)*
     and_expr := not_expr ('and' not_expr)*
     not_expr := 'not' not_expr | primary
-    primary  := '(' expr ')' | of_term | ext_pred | STR_ID
+    primary  := '(' expr ')' | of_term | ext_pred | count_cmp
+              | offset_cmp | STR_ID at_in?
     of_term  := ('any' | 'all' | INT) 'of' 'them'
     ext_pred := VAR OP ( STRING | REGEX )
+    count_cmp  := COUNT_ID CMP INT              -- '#a > 2'
+    offset_cmp := OFFSET_ID ('[' INT ']')? CMP INT  -- '@a[1] < 100'
+    at_in    := 'at' INT | 'in' '(' INT '..' INT ')'
     VAR      := filename | filepath | extension | filetype | owner
     OP       := '==' | '!=' | contains | icontains | startswith |
                 istartswith | endswith | iendswith | iequals | matches
+    CMP      := '==' | '!=' | '>' | '>=' | '<' | '<='
+    INT      := decimal or 0xHEX
 
 Bare ``any`` / ``all`` / INT (no 'of them') are accepted as sugar for the
 corresponding of-term, for compatibility with pre-parsed rule sets.
+
+Count/offset operator subset (the yara-x operators real signature-base
+rules use, src/main.rs:780-872 compiles them all):
+
+* ``$a at N`` / ``$a in (lo..hi)`` — a match of $a STARTS exactly at N /
+  at some offset in [lo, hi]. Offsets are character offsets (byte offsets
+  for the ASCII corpus), matching the matched_strings '@ {offset}'
+  convention.
+* ``#a CMP N`` — occurrence count comparison.
+* ``@a[i] CMP N`` — offset of the i-th occurrence (i is 1-based, per
+  yara); false when fewer than i occurrences. ``@a`` is ``@a[1]``.
+
+These operators are restricted to PLAIN ASCII LITERAL strings (nocase
+allowed; no fullword/wide/hex/regex), and for ``#``/``@`` the literal must
+additionally be border-free (no proper prefix that is also a suffix), so
+non-overlapping counting — the only kind every backend (pyarrow kernels,
+Catalyst, DuckDB, Python str) can express — provably equals yara-x's
+occurrence semantics. Anything outside the subset raises
+YaraUnsupportedError at load time: loud rejection, never a silent count
+mismatch. ``@a[i]`` is evaluated by the mask/pandas/row backends only; the
+Catalyst matcher and the DuckDB oracle renderer reject rules that use it
+(no i-th-occurrence primitive in either engine).
 """
 
 from __future__ import annotations
@@ -112,6 +140,66 @@ class ExtPred:
 
 
 @dataclass(frozen=True)
+class CountCmp:
+    """'#a CMP N' — occurrence-count comparison for string $a."""
+
+    identifier: str  # normalized to the '$' form ('#a' refers to '$a')
+    op: str  # eq|ne|gt|ge|lt|le
+    value: int
+
+
+@dataclass(frozen=True)
+class AtExpr:
+    """'$a at N' — a match of $a starts exactly at character offset N."""
+
+    identifier: str
+    offset: int
+
+
+@dataclass(frozen=True)
+class InExpr:
+    """'$a in (lo..hi)' — a match of $a starts at some offset in
+    [lo, hi] inclusive."""
+
+    identifier: str
+    lo: int
+    hi: int
+
+
+@dataclass(frozen=True)
+class OffsetCmp:
+    """'@a[i] CMP N' — the offset of the i-th occurrence (1-based i)
+    compared to N; false when there are fewer than i occurrences."""
+
+    identifier: str
+    index: int  # 1-based
+    op: str  # eq|ne|gt|ge|lt|le
+    value: int
+
+
+INT_CMPS = {
+    "==": "eq",
+    "!=": "ne",
+    ">": "gt",
+    ">=": "ge",
+    "<": "lt",
+    "<=": "le",
+}
+
+
+def cmp_int(op: str, left: int, right: int) -> bool:
+    """Shared integer-comparison semantics for count/offset operators."""
+    return {
+        "eq": left == right,
+        "ne": left != right,
+        "gt": left > right,
+        "ge": left >= right,
+        "lt": left < right,
+        "le": left <= right,
+    }[op]
+
+
+@dataclass(frozen=True)
 class Not:
     operand: object
 
@@ -142,17 +230,26 @@ _OPS = {
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<str_id>\$[A-Za-z0-9_]*\*?)
+      | (?P<count_id>\#[A-Za-z0-9_]+)
+      | (?P<offset_id>@[A-Za-z0-9_]+)
       | (?P<string>"(?:[^"\\]|\\.)*")
       | (?P<regex>/(?:[^/\\]|\\.)+/[is]*)
-      | (?P<cmp>==|!=)
+      | (?P<cmp>==|!=|>=|<=|>|<)
       | (?P<lpar>\()
       | (?P<rpar>\))
+      | (?P<lbracket>\[)
+      | (?P<rbracket>\])
+      | (?P<dotdot>\.\.)
       | (?P<comma>,)
-      | (?P<int>\d+)
+      | (?P<int>0[xX][0-9A-Fa-f]+|\d+)
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
     )""",
     re.VERBOSE,
 )
+
+
+def _to_int(text: str) -> int:
+    return int(text, 16) if text[:2].lower() == "0x" else int(text)
 
 
 def _unquote(s: str) -> str:
@@ -259,8 +356,81 @@ class _Parser:
                     f"wildcard string reference {val!r} only valid inside "
                     "an of-term set"
                 )
+            if self.peek() == ("word", "at"):
+                self.next()
+                k2, v2 = self.next()
+                if k2 != "int":
+                    raise YaraUnsupportedError(
+                        f"'at' expects an integer offset, got {v2!r}"
+                    )
+                return AtExpr(val, _to_int(v2))
+            if self.peek() == ("word", "in"):
+                self.next()
+                if self.next()[0] != "lpar":
+                    raise YaraUnsupportedError("'in' expects '(lo..hi)'")
+                k2, v2 = self.next()
+                if k2 != "int":
+                    raise YaraUnsupportedError(
+                        f"'in' range expects an integer, got {v2!r}"
+                    )
+                if self.next()[0] != "dotdot":
+                    raise YaraUnsupportedError("'in' range expects '..'")
+                k3, v3 = self.next()
+                if k3 != "int":
+                    raise YaraUnsupportedError(
+                        f"'in' range expects an integer, got {v3!r}"
+                    )
+                if self.next()[0] != "rpar":
+                    raise YaraUnsupportedError("unbalanced 'in' range")
+                lo, hi = _to_int(v2), _to_int(v3)
+                if hi < lo:
+                    raise YaraUnsupportedError(
+                        f"inverted 'in' range ({lo}..{hi})"
+                    )
+                return InExpr(val, lo, hi)
             return StrRef(val)
+        if kind == "count_id":
+            op_kind, op_val = self.next()
+            if op_kind != "cmp":
+                raise YaraUnsupportedError(
+                    f"'{val}' expects a comparison operator, got {op_val!r}"
+                    " (bare counts in boolean context are not supported)"
+                )
+            v_kind, v_val = self.next()
+            if v_kind != "int":
+                raise YaraUnsupportedError(
+                    f"count comparison expects an integer, got {v_val!r}"
+                )
+            return CountCmp("$" + val[1:], INT_CMPS[op_val], _to_int(v_val))
+        if kind == "offset_id":
+            index = 1
+            if self.peek() == ("lbracket", "["):
+                self.next()
+                k2, v2 = self.next()
+                if k2 != "int" or _to_int(v2) < 1:
+                    raise YaraUnsupportedError(
+                        f"'@' index must be a positive integer, got {v2!r}"
+                        " (yara @ arrays are 1-based)"
+                    )
+                index = _to_int(v2)
+                if self.next()[0] != "rbracket":
+                    raise YaraUnsupportedError("unbalanced '@' index")
+            op_kind, op_val = self.next()
+            if op_kind != "cmp":
+                raise YaraUnsupportedError(
+                    f"'{val}' expects a comparison operator, got {op_val!r}"
+                )
+            v_kind, v_val = self.next()
+            if v_kind != "int":
+                raise YaraUnsupportedError(
+                    f"offset comparison expects an integer, got {v_val!r}"
+                )
+            return OffsetCmp(
+                "$" + val[1:], index, INT_CMPS[op_val], _to_int(v_val)
+            )
         if kind == "int" or (kind == "word" and val in ("any", "all")):
+            if kind == "int":
+                val = str(_to_int(val))  # normalize 0x forms for int(node.n)
             if kind == "int" and int(val) == 0:
                 # yara-x '0 of them' means NONE-of — a negation with very
                 # different gating semantics; reject rather than misfire
@@ -338,13 +508,75 @@ def collect_of_terms(node) -> list[OfThem]:
 
 
 def condition_uses_strings(node) -> bool:
-    if isinstance(node, (OfThem, StrRef)):
+    if isinstance(node, (OfThem, StrRef, CountCmp, AtExpr, InExpr, OffsetCmp)):
         return True
     if isinstance(node, Not):
         return condition_uses_strings(node.operand)
     if isinstance(node, (AndExpr, OrExpr)):
         return any(condition_uses_strings(x) for x in node.items)
     return False
+
+
+def collect_string_op_nodes(node) -> list:
+    """Every CountCmp/AtExpr/InExpr/OffsetCmp node in a condition."""
+    if isinstance(node, (CountCmp, AtExpr, InExpr, OffsetCmp)):
+        return [node]
+    if isinstance(node, Not):
+        return collect_string_op_nodes(node.operand)
+    if isinstance(node, (AndExpr, OrExpr)):
+        return [t for x in node.items for t in collect_string_op_nodes(x)]
+    return []
+
+
+def _has_proper_border(needle: str) -> bool:
+    """True if some proper prefix of `needle` is also a suffix — exactly
+    the condition under which occurrences can overlap, making
+    non-overlapping counts diverge from yara-x's all-occurrence counts."""
+    return any(
+        needle[:k] == needle[-k:] for k in range(1, len(needle))
+    )
+
+
+def validate_condition_ops(rule_name: str, strings, ast) -> None:
+    """Load-time validation of count/at/in/offset operators against the
+    rule's string definitions (see module docstring for the subset):
+    plain ascii literals only; border-free for #/@. Raises
+    YaraUnsupportedError — loud rejection instead of a silent count or
+    offset mismatch vs the reference's yara-x."""
+    by_ident = {s.identifier: s for s in strings}
+    for node in collect_string_op_nodes(ast):
+        s = by_ident.get(node.identifier)
+        kind = type(node).__name__
+        if s is None:
+            raise YaraUnsupportedError(
+                f"rule {rule_name}: {kind} references undefined string "
+                f"{node.identifier}"
+            )
+        if s.is_regex or s.is_hex or s.wide or s.fullword:
+            raise YaraUnsupportedError(
+                f"rule {rule_name}: {kind} on {node.identifier} requires a "
+                "plain ascii literal string (no regex/hex/wide/fullword)"
+            )
+        if isinstance(node, (CountCmp, OffsetCmp)):
+            needle = s.pattern.lower() if s.nocase else s.pattern
+            if _has_proper_border(needle):
+                raise YaraUnsupportedError(
+                    f"rule {rule_name}: {kind} on {node.identifier}: literal "
+                    f"{s.pattern!r} can self-overlap (has a proper border), "
+                    "so backend-uniform non-overlapping counting would "
+                    "diverge from yara-x"
+                )
+        if isinstance(node, (CountCmp, OffsetCmp)) and node.value < 0:
+            raise YaraUnsupportedError(
+                f"rule {rule_name}: {kind} compares against a negative value"
+            )
+        if isinstance(node, InExpr) and node.hi > 1000:
+            # the pyarrow backend renders 'in' as an RE2 '^.{lo,hi}'
+            # anchor and RE2 caps bounded repetition at 1000
+            raise YaraUnsupportedError(
+                f"rule {rule_name}: 'in ({node.lo}..{node.hi})' upper bound "
+                "exceeds the supported 1000"
+            )
 
 
 def collect_ext_atoms(sigs) -> list[ExtPred]:
@@ -377,12 +609,22 @@ def collect_ext_atoms(sigs) -> list[ExtPred]:
 
 
 def condition_negates_strings(node, neg: bool = False) -> bool:
-    """True if any string reference (StrRef/OfThem) appears under an odd
-    number of `not`s. Such a condition is NOT monotone in the string
-    masks, so the pipeline's blank-non-candidate-text gate (which can only
-    turn masks False) would be unsound and must be disabled."""
-    if isinstance(node, (OfThem, StrRef)):
+    """True if the condition is NOT monotone in the text content, i.e.
+    BLANKING a row's text (the pipeline's non-candidate gate, which can
+    only remove matches) could flip the condition from False to True —
+    the gate would then be unsound and must be disabled.
+
+    * StrRef/OfThem/AtExpr/InExpr/OffsetCmp evaluate False on blank text,
+      so they are unsafe exactly when under an odd number of `not`s.
+    * CountCmp evaluates to cmp(0, value) on blank text — a constant A.
+      Unsafe when the effective blanked value (A, flipped by odd nots) is
+      True: a row whose real count fails the comparison would falsely
+      fire once blanked (e.g. `#a < 5` with real count 7)."""
+    if isinstance(node, (OfThem, StrRef, AtExpr, InExpr, OffsetCmp)):
         return neg
+    if isinstance(node, CountCmp):
+        blank_fires = cmp_int(node.op, 0, node.value)
+        return blank_fires != neg
     if isinstance(node, Not):
         return condition_negates_strings(node.operand, not neg)
     if isinstance(node, (AndExpr, OrExpr)):
@@ -406,4 +648,12 @@ def render_condition(node, backend):
         return backend.str_ref(node.identifier)
     if isinstance(node, ExtPred):
         return backend.ext_pred(node)
+    if isinstance(node, CountCmp):
+        return backend.count_cmp(node)
+    if isinstance(node, AtExpr):
+        return backend.at_expr(node)
+    if isinstance(node, InExpr):
+        return backend.in_expr(node)
+    if isinstance(node, OffsetCmp):
+        return backend.offset_cmp(node)
     raise YaraUnsupportedError(f"unknown AST node: {node!r}")

@@ -244,7 +244,14 @@ def parse_yara_rules(text: str) -> list[YaraRule]:
                 f"rule {rule_name}: condition references strings but the "
                 "rule defines none"
             )
-        from .conditions import collect_of_terms, selector_matches
+        from .conditions import (
+            collect_of_terms,
+            selector_matches,
+            validate_condition_ops,
+        )
+
+        # count/at/in/offset operators: loud load-time subset validation
+        validate_condition_ops(rule_name, strings, ast)
 
         idents = [s.identifier for s in strings]
         for term in collect_of_terms(ast):

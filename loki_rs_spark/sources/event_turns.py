@@ -16,6 +16,13 @@ EVENT_TEXT_RULES: tuple[tuple[int, int, str], ...] = (
     (53, 7, " fired netcat -e /bin/sh probe"),
     (53, 29, " beacon evil-c2.example.com ping"),
 )
+# whole-text replacements (constant text => known constant hashes). The
+# ALPHA payload's md5 AND sha256 are both in hash-iocs.txt: on the process
+# path only the md5 (first-of-three) may produce a reason
+# (src/modules/process_check.rs:367-397).
+EVENT_REPLACE_RULES: tuple[tuple[int, int, str], ...] = (
+    (61, 11, "EICAR-TEST-PAYLOAD-ALPHA"),
+)
 EVENT_TOOL_RULES: tuple[tuple[int, int, str], ...] = (
     (59, 13, "evt/mimikatz.exe"),
 )
@@ -29,6 +36,10 @@ def load_event_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id") % mod == res,
             F.concat(F.col("event_type"), F.lit(" "), F.col("props"),
                      F.lit(suffix)),
+        ).otherwise(text)
+    for mod, res, payload in reversed(EVENT_REPLACE_RULES):
+        text = F.when(
+            F.col("event_id") % mod == res, F.lit(payload)
         ).otherwise(text)
     tool = F.concat(F.lit("events/"), F.col("event_type"))
     for mod, res, value in reversed(EVENT_TOOL_RULES):
@@ -55,6 +66,9 @@ def _sql_quote(s: str) -> str:
 def event_turns_duckdb_cte() -> str:
     """DuckDB CTE named `event_turns` with the identical derivation."""
     text_whens = [
+        f"WHEN event_id % {mod} = {res} THEN {_sql_quote(payload)}"
+        for mod, res, payload in EVENT_REPLACE_RULES
+    ] + [
         f"WHEN event_id % {mod} = {res} THEN event_type || ' ' || props"
         f" || {_sql_quote(suffix)}"
         for mod, res, suffix in EVENT_TEXT_RULES

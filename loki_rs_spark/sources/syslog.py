@@ -52,6 +52,19 @@ def routed_to_syslog_lines(
     return routed.select(line.alias("value"))
 
 
+def routed_to_remote_json_lines(
+    routed: DataFrame, hostname: str = "spark"
+) -> DataFrame:
+    """RemoteFormat::Json analog (src/helpers/unified_logger.rs:505-510):
+    the reference's remote sink can ship the SAME structured event JSON it
+    writes to loki.jsonl over the socket instead of syslog framing. Reuses
+    the JSONL sink's event rendering, so socket and file sinks stay
+    byte-identical per event."""
+    from .jsonl import routed_to_jsonl_df
+
+    return routed_to_jsonl_df(routed, hostname)
+
+
 def write_syslog(
     lines: DataFrame,
     host: str = "127.0.0.1",

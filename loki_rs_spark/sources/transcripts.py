@@ -60,6 +60,21 @@ TEXT_RULES: tuple[tuple[int, int, str, str], ...] = (
      " <<attach:inner_tool.exe>>EICAR-TEST-PAYLOAD-ALPHA<<end>>"),
     (1013, 67, "append",
      " <<attach:nested.bin>>beacon to evil-c2.example.com now<<end>>"),
+    # count/at/in operator probes (count_offset.yar): a 3x marker that
+    # fires '#m >= 3' vs a 1x marker that must NOT; a turn-start banner
+    # firing '$b at 0' vs a mid-text one that must NOT; an offset-3 token
+    # firing '$t in (2..8) and #t == 1' vs a late one (the ' pad-pad-pad '
+    # prefix keeps its offset > 8 for ANY base text) and a twice-in-window
+    # one that fails the '#t == 1' conjunct
+    (1021, 13, "append",
+     " repeat-marker-x repeat-marker-x repeat-marker-x tail"),
+    (1021, 113, "append", " repeat-marker-x alone"),
+    (1019, 5, "replace", "BANNER-AT-ZERO header line for the at operator"),
+    (1019, 111, "append", " BANNER-AT-ZERO not at zero"),
+    (1031, 17, "replace", "ab early-window-token fires in window"),
+    (1031, 119, "append", " pad-pad-pad early-window-token"),
+    (1031, 223, "replace",
+     "zz early-window-token mid early-window-token twice"),
 )
 
 # (modulus, residue, tool value); default tool is 'tool-' || uid % 7.

@@ -585,3 +585,197 @@ def test_threshold_and_slice(spark):
     assert ref.n_reasons == 5 and len(ref.reasons) == CFG.max_reasons
     routed = _routed_levels(spark, [("x", tool)], many)
     assert len(routed[0][2]) == CFG.max_reasons
+
+
+# ---- count/at/in/@ operators (yara-x src/main.rs:780-872 subset) ---------
+
+
+COUNT_SIGS = _yara_sigs([YaraString("$a", "mk-tok")], "#a >= 2")
+COUNT_EQ_SIGS = _yara_sigs([YaraString("$a", "mk-tok")], "#a == 1")
+COUNT_NC_SIGS = _yara_sigs(
+    [YaraString("$a", "MK-Tok", nocase=True)], "#a >= 2"
+)
+
+
+@pytest.mark.parametrize(
+    "text,ge2,eq1",
+    [
+        ("nothing here", False, False),
+        ("one mk-tok end", False, True),
+        ("mk-tok and mk-tok", True, False),
+        ("mk-tok mk-tok mk-tok", True, False),
+    ],
+)
+def test_count_truth_table(spark, text, ge2, eq1):
+    for sigs, hit in ((COUNT_SIGS, ge2), (COUNT_EQ_SIGS, eq1)):
+        ref = scan_turn("c0", 0, text, "tool-x", sigs, CFG)
+        assert (ref is not None) == hit
+        routed = _routed_levels(spark, [(text, "tool-x")], sigs)
+        assert (0 in routed) == hit
+
+
+def test_count_nocase(spark):
+    text = "MK-TOK then mk-tok"
+    assert scan_turn("c0", 0, text, "t", COUNT_NC_SIGS, CFG) is not None
+    assert 0 in _routed_levels(spark, [(text, "t")], COUNT_NC_SIGS)
+    assert scan_turn("c0", 0, "MK-TOK once", "t", COUNT_NC_SIGS, CFG) is None
+
+
+AT_SIGS = _yara_sigs([YaraString("$a", "hdr")], "$a at 3")
+IN_SIGS = _yara_sigs([YaraString("$a", "tok")], "$a in (2..5)")
+
+
+@pytest.mark.parametrize(
+    "text,at_hit",
+    [
+        ("hdr at zero", False),  # offset 0, not 3
+        ("xy hdr", True),  # exactly 3 chars before -> offset 3
+        ("xyzhdr tail", True),  # offset 3
+        ("xyz hdr", False),  # offset 4
+        ("no match", False),
+    ],
+)
+def test_at_truth_table(spark, text, at_hit):
+    ref = scan_turn("c0", 0, text, "t", AT_SIGS, CFG)
+    assert (ref is not None) == at_hit
+    assert (0 in _routed_levels(spark, [(text, "t")], AT_SIGS)) == at_hit
+
+
+@pytest.mark.parametrize(
+    "text,in_hit",
+    [
+        ("tok at zero", False),  # offset 0 < lo
+        ("xtok", False),  # offset 1 < lo
+        ("xxtok", True),  # offset 2 == lo
+        ("xxxxxtok", True),  # offset 5 == hi
+        ("xxxxxxtok", False),  # offset 6 > hi
+        # overlap-ish probe: first occurrence before the window, second
+        # inside it — 'in' must still fire (window scan, not first-only)
+        ("tok xtok", True),  # occurrences at 0 and 4... 4 > hi? no: lo=2 hi=5
+    ],
+)
+def test_in_truth_table(spark, text, in_hit):
+    ref = scan_turn("c0", 0, text, "t", IN_SIGS, CFG)
+    assert (ref is not None) == in_hit
+    assert (0 in _routed_levels(spark, [(text, "t")], IN_SIGS)) == in_hit
+
+
+OFFSET_SIGS = _yara_sigs([YaraString("$a", "zz-mark")], "@a[2] < 20")
+
+
+@pytest.mark.parametrize(
+    "text,hit",
+    [
+        ("zz-mark only once", False),  # no second occurrence
+        ("zz-mark zz-mark", True),  # second at 8 < 20
+        ("zz-mark" + " " * 20 + "zz-mark", False),  # second at 27
+    ],
+)
+def test_offset_cmp_truth_table(spark, text, hit):
+    ref = scan_turn("c0", 0, text, "t", OFFSET_SIGS, CFG)
+    assert (ref is not None) == hit
+    # arrow + pandas matchers support @[i]; catalyst must reject loudly
+    for matcher in ("arrow", "pandas"):
+        result = scan_transcripts(
+            spark, _turn_df(spark, [(text, "t")]), OFFSET_SIGS, CFG,
+            matcher=matcher,
+        )
+        assert (len(result.routed.collect()) == 1) == hit, matcher
+
+
+def test_offset_cmp_catalyst_rejects(spark):
+    from loki_rs_spark.signatures.conditions import YaraUnsupportedError
+
+    with pytest.raises(YaraUnsupportedError):
+        scan_transcripts(
+            spark, _turn_df(spark, [("x", "t")]), OFFSET_SIGS, CFG,
+            matcher="catalyst",
+        ).routed.collect()
+
+
+def test_count_operator_rejections():
+    from loki_rs_spark.signatures.conditions import YaraUnsupportedError
+    from loki_rs_spark.signatures.parsers import parse_yara_rules
+
+    def rule(strings: str, condition: str) -> str:
+        return (
+            "rule R {\n  strings:\n    " + strings
+            + "\n  condition:\n    " + condition + "\n}"
+        )
+
+    with pytest.raises(YaraUnsupportedError):  # '#' on a regex string
+        parse_yara_rules(rule("$a = /ab+/", "#a > 1"))
+    with pytest.raises(YaraUnsupportedError):  # '#' on a hex string
+        parse_yara_rules(rule("$a = { 41 42 }", "#a > 1"))
+    with pytest.raises(YaraUnsupportedError):  # '#' on fullword
+        parse_yara_rules(rule('$a = "x" fullword', "#a > 1"))
+    with pytest.raises(YaraUnsupportedError):  # self-overlapping literal
+        parse_yara_rules(rule('$a = "aa"', "#a > 1"))
+    with pytest.raises(YaraUnsupportedError):  # border under nocase fold
+        parse_yara_rules(rule('$a = "aA" nocase', "#a > 1"))
+    with pytest.raises(YaraUnsupportedError):  # bare count in bool context
+        parse_yara_rules(rule('$a = "x"', "#a"))
+    with pytest.raises(YaraUnsupportedError):  # undefined string
+        parse_yara_rules(rule('$a = "x"', "#zzz > 1"))
+    with pytest.raises(YaraUnsupportedError):  # inverted in-range
+        parse_yara_rules(rule('$a = "xy"', "$a in (9..2)"))
+    with pytest.raises(YaraUnsupportedError):  # in-range beyond RE2 bound
+        parse_yara_rules(rule('$a = "xy"', "$a in (0..5000)"))
+    with pytest.raises(YaraUnsupportedError):  # @ index is 1-based
+        parse_yara_rules(rule('$a = "xy"', "@a[0] < 5"))
+    # border-free literal with '#', 'at', 'in', '@' all parse fine
+    rules = parse_yara_rules(
+        rule('$a = "xy"', "#a >= 1 and $a at 0 and $a in (0..8) and @a[1] == 0")
+    )
+    assert len(rules) == 1
+
+
+def test_count_gate_monotonicity():
+    """'#a < N' fires on blank text, so the text gate must self-disable;
+    '#a >= N' (N>0) cannot fire on blank text, so the gate stays."""
+    from loki_rs_spark.operators.arrow_matcher import match_gate_exprs
+
+    unsafe = _yara_sigs([YaraString("$a", "mk-tok")], "#a < 2")
+    safe = _yara_sigs([YaraString("$a", "mk-tok")], "#a >= 2")
+    assert match_gate_exprs(unsafe)[0] is None
+    assert match_gate_exprs(safe)[0] is not None
+    # blank-firing count rules still produce correct results with the
+    # gate disabled: a clean row fires '#a < 2' (count 0)
+    ref = scan_turn("c0", 0, "clean text", "t", unsafe, CFG)
+    assert ref is not None
+
+
+# ---- process-source hash semantics (process_check.rs:367-397) ------------
+
+
+def test_process_hash_first_of_three(spark):
+    """A text whose md5 AND sha256 are both IOC-listed: the file path
+    emits two hash reasons, the process path exactly one (md5 first) with
+    the process message."""
+    text = "double-hash-probe"
+    md5 = hashlib.md5(text.encode()).hexdigest()
+    sha256 = hashlib.sha256(text.encode()).hexdigest()
+    sigs = _sigs(
+        hash_iocs=[
+            HashIOC(md5, "md5", 70, "d1"),
+            HashIOC(sha256, "sha256", 70, "d2"),
+        ]
+    )
+    ref_file = scan_turn("c0", 0, text, "t", sigs, CFG)
+    ref_proc = scan_turn("c0", 0, text, "t", sigs, CFG, source_kind="process")
+    assert ref_file.n_reasons == 2
+    assert ref_proc.n_reasons == 1
+    assert ref_proc.reasons[0].message == (
+        f"Process Executable Hash Match HASH: {md5}"
+    )
+
+    rows = _turn_df(spark, [(text, "t")])
+    file_routed = scan_transcripts(spark, rows, sigs, CFG).routed.collect()
+    proc_routed = scan_transcripts(
+        spark, rows, sigs, CFG, source_kind="process"
+    ).routed.collect()
+    assert file_routed[0]["n_reasons"] == 2
+    assert proc_routed[0]["n_reasons"] == 1
+    assert proc_routed[0]["reasons"][0]["message"] == (
+        f"Process Executable Hash Match HASH: {md5}"
+    )
