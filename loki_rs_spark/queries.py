@@ -528,10 +528,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(F.col("shingles"), _perm(i))).alias(f"mh{i}")
         for i in range(MINHASH_PERMS)
     ]
+    # Scale-critical shape: the band frame carries (uid, band_idx,
+    # band_hash) ONLY — never the shingle arrays. At 100 TB the band join
+    # falls back from broadcast to a shuffled join, and shipping every
+    # document's full shingle set 4x (once per band) plus 2x per candidate
+    # would dominate the stage; narrow keys keep the shuffle bytes
+    # O(docs x bands x 16B). The exact-Jaccard verify joins BACK to the
+    # shingled docs by uid on candidates only (two narrow hash joins).
     sig = shingled.select("uid", "shingles", *mh_cols)
     bands = sig.select(
         "uid",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -550,7 +556,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("uid", "shingles", "band.band_idx", "band.band_hash")
+    ).select("uid", "band.band_idx", "band.band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -563,10 +569,23 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.uid").alias("uid_a"),
             F.col("b.uid").alias("uid_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["uid_a", "uid_b"])
+    )
+    docs = shingled.select("uid", "shingles")
+    pairs = (
+        pairs.join(
+            docs.select(
+                F.col("uid").alias("uid_a"), F.col("shingles").alias("sh_a")
+            ),
+            "uid_a",
+        )
+        .join(
+            docs.select(
+                F.col("uid").alias("uid_b"), F.col("shingles").alias("sh_b")
+            ),
+            "uid_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

@@ -166,7 +166,11 @@ def test_bundled_corpus_loads():
         "203.0.113.66",
         "badcdn.net",
     ]
+    # files load in sorted-name order (O6): count_offset < demo < extvars
     assert [r.name for r in sigs.yara_rules] == [
+        "Count_Marker_Three",
+        "At_Zero_Banner",
+        "In_Window_Token",
         "EICAR_Test_Payload",
         "Netcat_Shell",
         "Meterpreter_Indicator",
@@ -175,8 +179,12 @@ def test_bundled_corpus_loads():
         "ExtVar_OfSet_Indicators",
         "Fullword_Probe",
     ]
-    assert sigs.yara_rules[2].score == 75
+    assert sigs.yara_rules[5].score == 75
     # ext-var conditions parse to ASTs and a stringless rule is legal
-    assert sigs.yara_rules[4].strings == ()
-    assert sigs.yara_rules[5].condition == '1 of ($ind*) and owner == "assistant"'
-    assert sigs.yara_rules[6].strings[0].fullword
+    assert sigs.yara_rules[7].strings == ()
+    assert sigs.yara_rules[8].condition == '1 of ($ind*) and owner == "assistant"'
+    assert sigs.yara_rules[9].strings[0].fullword
+    # count/offset conditions survive the loader round-trip
+    assert sigs.yara_rules[0].condition == "#m >= 3"
+    assert sigs.yara_rules[1].condition == "$b at 0"
+    assert sigs.yara_rules[2].condition == "$t in (2..8) and #t == 1"
