@@ -43,3 +43,90 @@ def apply_size_filter(df: DataFrame, max_text_chars: int) -> DataFrame:
     return df.filter(
         F.col("text").isNull() | (F.length(F.col("text")) <= max_text_chars)
     )
+
+
+# ---- F4/F5: path-taxonomy skips (cloud / system paths) --------------------
+
+# src/modules/filesystem_scan.rs:71-88
+CLOUD_ROOT_SEGMENTS: tuple[str, ...] = (
+    "onedrive", "dropbox", ".dropbox", "google drive", "googledrive",
+    "icloud drive", "box", "box-box", "mega", "megasync", "nextcloud",
+    "owncloud", "tresorit", "tresorit drive", "syncthing",
+)
+# src/modules/filesystem_scan.rs:91-112
+LINUX_PATH_SKIPS_START: tuple[str, ...] = (
+    "/proc", "/dev", "/sys", "/run", "/sys/kernel/debug",
+    "/sys/kernel/slab", "/sys/kernel/tracing", "/sys/devices",
+    "/usr/src/linux",
+)
+MOUNTED_DEVICES: tuple[str, ...] = ("/media", "/volumes")
+LINUX_PATH_SKIPS_END: tuple[str, ...] = ("/initctl",)
+
+
+def cloud_path_predicate(path: Column) -> Column:
+    """F4: is_cloud_or_remote_path (filesystem_scan.rs:129-162) as a pure
+    Catalyst higher-order-function expression — segment-exact matches (no
+    substring matches), dynamic provider prefixes, and the macOS
+    library/cloudstorage adjacent-pair marker. Whole-stage codegen'd; at
+    scale this predicate belongs in the scan filter so pruning happens at
+    the source."""
+    segs = F.filter(
+        F.split(F.regexp_replace(F.lower(path), r"\\", "/"), "/"),
+        lambda s: s != F.lit(""),
+    )
+    direct = F.exists(
+        segs, lambda s: s.isin(*[F.lit(c) for c in CLOUD_ROOT_SEGMENTS])
+    )
+    dynamic = F.exists(
+        segs,
+        lambda s: s.startswith("onedrive - ")
+        | s.startswith("onedrive-")
+        | s.startswith("nextcloud-"),
+    )
+    # windows(2) pair scan: zip each segment with its successor
+    tail = F.slice(
+        segs, 2, F.greatest(F.size(segs) - 1, F.lit(0))
+    )
+    pair = F.exists(
+        F.zip_with(
+            segs,
+            tail,
+            lambda a, b: (a == F.lit("library")) & (b == F.lit("cloudstorage")),
+        ),
+        lambda x: x,
+    )
+    return direct | dynamic | pair
+
+
+def system_path_predicate(
+    path: Column, scan_all_drives: bool = False
+) -> Column:
+    """F5: unix system-path skip (filesystem_scan.rs:630-654): path starts
+    with any system prefix, ends with /initctl, or sits under a mounted-
+    device root unless --scan-all-drives."""
+    lowered = F.lower(path)
+    pred = F.lit(False)
+    for p in LINUX_PATH_SKIPS_START:
+        pred = pred | lowered.startswith(p)
+    for p in LINUX_PATH_SKIPS_END:
+        pred = pred | lowered.endswith(p)
+    if not scan_all_drives:
+        for p in MOUNTED_DEVICES:
+            pred = pred | lowered.startswith(p)
+    return pred
+
+
+def apply_path_taxonomy_filters(
+    df: DataFrame,
+    path_col: str = "tool",
+    scan_all_drives: bool = False,
+) -> DataFrame:
+    """F4+F5 applied together (the reference applies both before the
+    expensive scan, filesystem_scan.rs:623-654). `tool` plays the path
+    role in the transcript model; transcripts rarely carry such paths, so
+    this stays an opt-in operator rather than a DEFAULT_CONFIG stage."""
+    col = F.col(path_col)
+    return df.filter(
+        ~cloud_path_predicate(col)
+        & ~system_path_predicate(col, scan_all_drives=scan_all_drives)
+    )

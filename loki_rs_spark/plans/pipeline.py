@@ -177,7 +177,18 @@ def scan_transcripts(
     df, hash_reasons, hash_hit = hash_reason_array(
         spark, df, sigs, source_kind=source_kind
     )
-    c2_reasons = c2_reason_array(F.col("text"), list(sigs.c2_iocs))
+    # The C2 literal gate feeds BOTH the candidate predicate and the host
+    # extraction. Aliased into its own column so the OR-of-contains chain
+    # evaluates once per row: CollapseProject only inlines aliases that
+    # are cheap or used once, and codegen subexpression elimination does
+    # NOT rescue duplicated trees inside conditional branches (measured
+    # +9s/4M rows at local[8] when instantiated inline).
+    df = df.withColumn(
+        "_c2g", c2_text_gate(F.col("text"), list(sigs.c2_iocs))
+    )
+    c2_reasons = c2_reason_array(
+        F.col("text"), list(sigs.c2_iocs), gate=F.col("_c2g")
+    )
 
     # Sparse fast path: the overwhelming majority of turns match nothing,
     # so gate the (allocation-heavy) reason assembly behind a cheap
@@ -195,7 +206,7 @@ def scan_transcripts(
     # hit, or a C2 server literal present in the text (c2_text_gate — a
     # necessary condition for any C2 reason). Conservative — false
     # positives just take the slow branch.
-    candidate = hash_hit | c2_text_gate(F.col("text"), list(sigs.c2_iocs))
+    candidate = hash_hit | F.col("_c2g")
     if matcher in ("arrow", "pandas"):
         candidate = (
             (F.size(F.col("_m.fname")) > 0)
@@ -208,13 +219,14 @@ def scan_transcripts(
         F.array().cast(f"array<{REASON_TYPE}>")
     )
 
-    sub_scores = F.transform(all_reasons, lambda r: r["score"])
-    raw_score = weighted_score_col(sub_scores)
-    score = rounded_score_col(raw_score)
-    level = severity_col(score, cfg)
-
     def project(frame: DataFrame) -> DataFrame:
-        return frame.select(
+        # Staged projections so the heavy reason tree evaluates ONCE per
+        # row: stage 1 aliases `all_reasons` (used 2x downstream — size +
+        # score fold — so CollapseProject keeps the alias materialized
+        # instead of re-inlining four copies of the tree); stage 2 derives
+        # n_reasons/score from the attribute; stage 3 derives level from
+        # the score attribute.
+        staged = frame.select(
             "conv_id",
             "turn_idx",
             "role",
@@ -225,9 +237,15 @@ def scan_transcripts(
             "sha1",
             "sha256",
             all_reasons.alias("all_reasons"),
-            F.size(all_reasons).alias("n_reasons"),
-            score.alias("score"),
-            level.alias("level"),
+        )
+        sub_scores = F.transform(F.col("all_reasons"), lambda r: r["score"])
+        staged = staged.select(
+            "*",
+            F.size("all_reasons").alias("n_reasons"),
+            rounded_score_col(weighted_score_col(sub_scores)).alias("score"),
+        )
+        return staged.select(
+            "*", severity_col(F.col("score"), cfg).alias("level")
         )
 
     evaluated = project(df)
@@ -306,7 +324,12 @@ def scan_transcripts_scores(
     df, hash_reasons, hash_hit = hash_reason_array(
         spark, df, sigs, source_kind=source_kind
     )
-    c2_reasons = c2_reason_array(F.col("text"), list(sigs.c2_iocs))
+    df = df.withColumn(
+        "_c2g", c2_text_gate(F.col("text"), list(sigs.c2_iocs))
+    )
+    c2_reasons = c2_reason_array(
+        F.col("text"), list(sigs.c2_iocs), gate=F.col("_c2g")
+    )
     hash_scores = F.transform(_nz(hash_reasons), lambda r: r["score"])
     c2_scores = F.transform(_nz(c2_reasons), lambda r: r["score"])
 
@@ -319,25 +342,40 @@ def scan_transcripts_scores(
     )
     candidate = (
         hash_hit
-        | c2_text_gate(F.col("text"), list(sigs.c2_iocs))
+        | F.col("_c2g")
         | (F.size(F.col("_s.fname")) > 0)
         | (F.size(F.col("_s.yara")) > 0)
     )
     sub_scores = F.when(candidate, assembled).otherwise(
         F.array().cast("array<int>")
     )
-    score = rounded_score_col(weighted_score_col(sub_scores))
-    level = severity_col(score, cfg)
 
-    evaluated = df.select(
+    # staged projections: the sub_scores tree evaluates once (see
+    # scan_transcripts.project for the CollapseProject rationale)
+    staged = df.select(
         "conv_id",
         "turn_idx",
         "role",
         "tool",
         "ts",
-        F.size(sub_scores).alias("n_reasons"),
-        score.alias("score"),
-        level.alias("level"),
+        sub_scores.alias("_scores"),
+    )
+    staged = staged.select(
+        "*",
+        F.size("_scores").alias("n_reasons"),
+        rounded_score_col(weighted_score_col(F.col("_scores"))).alias(
+            "score"
+        ),
+    )
+    evaluated = staged.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        "n_reasons",
+        "score",
+        severity_col(F.col("score"), cfg).alias("level"),
     )
     routed_base = evaluated
     if not evaluated.isStreaming:
