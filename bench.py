@@ -311,10 +311,19 @@ def main() -> None:
     total_started = time.time()
     print(f"bench: sf_dir={SF_DIR} rep={BENCH_REP}", file=sys.stderr)
     # run-start recalibration: the bench starts before any credit burn, so
-    # this probe sees the host's current full-credit capability; take the
-    # max with the recorded floor so the health gates track THIS window.
+    # these probes see the host's current full-credit capability; take the
+    # MEDIAN of three spaced probes (a single probe can catch a fleeting
+    # golden window — observed 32 GB/s vs a ~16 GB/s sustainable level —
+    # and then the 0.85x leg bar becomes unreachable and the idle gate
+    # burns its whole budget) and the max with the recorded floor.
+    mt_probes = []
+    for _ in range(3):
+        mt_probes.append(_cpu_speed_mt())
+        time.sleep(2)
     CANONICAL_CPU_MBS = max(CANONICAL_CPU_MBS, _cpu_speed())
-    CANONICAL_CPU_MT_MBS = max(CANONICAL_CPU_MT_MBS, _cpu_speed_mt())
+    CANONICAL_CPU_MT_MBS = max(
+        CANONICAL_CPU_MT_MBS, sorted(mt_probes)[1]
+    )
     print(
         f"  canonical probes for this run: 1t {CANONICAL_CPU_MBS:.0f}, "
         f"mt {CANONICAL_CPU_MT_MBS:.0f} MB/s",
@@ -323,15 +332,17 @@ def main() -> None:
 
     # local[2] is nearly contention-immune (30 spare cores) -> one attempt;
     # local[8] carries the north-rule N->4N criterion -> retry under noise.
-    # Both gate legs require FULL-health probes (0.85x canonical), not the
+    # Both gate legs require healthier probes (0.7x canonical) than the
     # 0.6x degraded floor: round-2's driver run recorded 0.797 efficiency
     # purely because the local[8] leg measured on a drained-credit window
-    # while local[2] measured on a full one.
-    r2 = _best_scan("local[2]", attempts=1, min_fraction=0.85)
+    # while local[2] measured on a full one. (0.85x proved unreachable
+    # when the canonical recalibration catches a golden window — the
+    # probe-parity retry below handles relative fairness beyond the bar.)
+    r2 = _best_scan("local[2]", attempts=1, min_fraction=0.7)
     thr2 = r2["turns"] / r2["elapsed"]
     r8 = _best_scan("local[8]", attempts=3,
                     good_enough=4 * 0.82, baseline_thr=thr2,
-                    min_fraction=0.85)
+                    min_fraction=0.7)
     # probe-parity fairness: the 2->8 ratio is only meaningful if both
     # legs measured under comparable host health. Re-run the weaker-probed
     # leg (either direction — a throttled local[2] flatters the ratio just
@@ -340,7 +351,7 @@ def main() -> None:
         p2 = r2.get("cpu_probe_mt_mbs") or 0.0
         p8 = r8.get("cpu_probe_mt_mbs") or 0.0
         if p8 < 0.9 * p2:
-            r8b = _best_scan("local[8]", attempts=1, min_fraction=0.85)
+            r8b = _best_scan("local[8]", attempts=1, min_fraction=0.7)
             if r8b["elapsed"] < r8["elapsed"]:
                 r8 = r8b
             else:
@@ -348,7 +359,7 @@ def main() -> None:
                     p8, r8b.get("cpu_probe_mt_mbs") or 0.0
                 )
         elif p2 < 0.9 * p8:
-            r2b = _best_scan("local[2]", attempts=1, min_fraction=0.85)
+            r2b = _best_scan("local[2]", attempts=1, min_fraction=0.7)
             if r2b["elapsed"] < r2["elapsed"]:
                 r2 = r2b
             else:
