@@ -93,25 +93,40 @@ def _literal_occurrences(
         pos = i + len(needle)
 
 
-_HEX_TOK = re.compile(r"([0-9A-Fa-f]{2})|(\?\?)|\[(\d+)(?:-(\d+))?\]|\s+")
+_HEX_TOK = re.compile(
+    r"([0-9A-Fa-f]{2})|(\?\?)|\[(\d+)(?:-(\d+))?\]|([(|)])|\s+"
+)
 
 
 def _hex_regex_own(body: str) -> str:
-    """Independent hex-string -> regex conversion for the oracle side."""
-    out, pos = [], 0
+    """Independent hex-string -> regex conversion for the oracle side
+    (stack-based alternation handling, deliberately different in style
+    from compile.hex_to_regex's recursive parser)."""
+    stack: list[list[list[str]]] = [[[]]]  # groups -> alternatives -> parts
+    pos = 0
     while pos < len(body):
         m = _HEX_TOK.match(body, pos)
         if m is None:
             raise ValueError(f"bad hex string {body!r}")
         pos = m.end()
-        byte, wild, lo, hi = m.groups()
-        if byte is not None:
-            out.append(re.escape(chr(int(byte, 16))))
+        byte, wild, lo, hi, punct = m.groups()
+        if punct == "(":
+            stack.append([[]])
+        elif punct == "|":
+            stack[-1].append([])
+        elif punct == ")":
+            group = stack.pop()
+            rendered = "(?:" + "|".join("".join(a) for a in group) + ")"
+            stack[-1][-1].append(rendered)
+        elif byte is not None:
+            stack[-1][-1].append(re.escape(chr(int(byte, 16))))
         elif wild is not None:
-            out.append(".")
+            stack[-1][-1].append(".")
         elif lo is not None:
-            out.append(f".{{{lo},{hi}}}" if hi else f".{{{lo}}}")
-    return "".join(out)
+            stack[-1][-1].append(f".{{{lo},{hi}}}" if hi else f".{{{lo}}}")
+    if len(stack) != 1 or len(stack[0]) != 1:
+        raise ValueError(f"unbalanced hex alternation {body!r}")
+    return "".join(stack[0][0])
 
 
 def _string_occurrences(s: YaraString, text: str) -> list[tuple[int, str]]:

@@ -60,13 +60,19 @@ def wide_interleave(s: str) -> str:
     return "".join(c + "\x00" for c in s)
 
 
-_HEX_TOKEN = re.compile(r"([0-9A-Fa-f]{2})|(\?\?)|\[(\d+)(?:-(\d+))?\]|\s+")
+_HEX_TOKEN = re.compile(
+    r"([0-9A-Fa-f]{2})|(\?\?)|\[(\d+)(?:-(\d+))?\]|[(|)]|\s+"
+)
 
 
 def hex_to_regex(body: str, context: str = "") -> str:
-    """Compile a hex-string body (inside the braces) to a regex core."""
+    """Compile a hex-string body (inside the braces) to a regex core.
+
+    Supports fixed bytes, ?? wildcards, [n]/[n-m] jumps, and (nestable)
+    alternations ``( AA | BB CC )`` per yara-x. Jumps inside alternations
+    are rejected loudly (yara-x forbids them there too)."""
+    tokens: list[tuple] = []
     pos = 0
-    out: list[str] = []
     while pos < len(body):
         m = _HEX_TOKEN.match(body, pos)
         if m is None:
@@ -75,29 +81,76 @@ def hex_to_regex(body: str, context: str = "") -> str:
                 f"{context}"
             )
         pos = m.end()
-        byte, wild, jump_lo, jump_hi = m.groups()
-        if byte is not None:
-            value = int(byte, 16)
-            if value >= 0x80:
-                raise YaraUnsupportedError(
-                    f"hex byte {byte} >= 0x80 cannot match a text column"
-                    f"{context}"
-                )
-            out.append(f"\\x{value:02x}")
-        elif wild is not None:
-            out.append(".")
-        elif jump_lo is not None:
-            if jump_hi is not None:
-                if int(jump_hi) < int(jump_lo):
+        groups = m.groups()
+        if any(g is not None for g in groups):
+            tokens.append(groups)
+        elif m.group(0).strip():  # ( | ) punctuation
+            tokens.append((None, None, None, None, m.group(0).strip()))
+
+    idx = [0]
+
+    def parse_seq(depth: int) -> str:
+        out: list[str] = []
+        while idx[0] < len(tokens):
+            byte, wild, jump_lo, jump_hi, *rest = (
+                tokens[idx[0]] + (None,) * (5 - len(tokens[idx[0]]))
+            )
+            punct = rest[0] if rest else None
+            if punct in (")", "|"):
+                break  # caller consumes
+            idx[0] += 1
+            if punct == "(":
+                alts = [parse_seq(depth + 1)]
+                while (
+                    idx[0] < len(tokens)
+                    and len(tokens[idx[0]]) == 5
+                    and tokens[idx[0]][4] == "|"
+                ):
+                    idx[0] += 1
+                    alts.append(parse_seq(depth + 1))
+                if not (
+                    idx[0] < len(tokens)
+                    and len(tokens[idx[0]]) == 5
+                    and tokens[idx[0]][4] == ")"
+                ):
                     raise YaraUnsupportedError(
-                        f"inverted hex jump [{jump_lo}-{jump_hi}]{context}"
+                        f"unbalanced hex alternation{context}"
                     )
-                out.append(f".{{{int(jump_lo)},{int(jump_hi)}}}")
-            else:
-                out.append(f".{{{int(jump_lo)}}}")
-    if not out:
-        raise YaraUnsupportedError(f"empty hex string{context}")
-    return "".join(out)
+                idx[0] += 1
+                out.append("(?:" + "|".join(alts) + ")")
+            elif byte is not None:
+                value = int(byte, 16)
+                if value >= 0x80:
+                    raise YaraUnsupportedError(
+                        f"hex byte {byte} >= 0x80 cannot match a text column"
+                        f"{context}"
+                    )
+                out.append(f"\\x{value:02x}")
+            elif wild is not None:
+                out.append(".")
+            elif jump_lo is not None:
+                if depth > 0:
+                    raise YaraUnsupportedError(
+                        f"hex jump inside an alternation{context}"
+                    )
+                if jump_hi is not None:
+                    if int(jump_hi) < int(jump_lo):
+                        raise YaraUnsupportedError(
+                            f"inverted hex jump [{jump_lo}-{jump_hi}]{context}"
+                        )
+                    out.append(f".{{{int(jump_lo)},{int(jump_hi)}}}")
+                else:
+                    out.append(f".{{{int(jump_lo)}}}")
+        if not out:
+            raise YaraUnsupportedError(f"empty hex string/alternative{context}")
+        return "".join(out)
+
+    result = parse_seq(0)
+    if idx[0] != len(tokens):
+        raise YaraUnsupportedError(
+            f"unbalanced hex alternation{context}"
+        )
+    return result
 
 
 def validate_string(s: YaraString) -> None:

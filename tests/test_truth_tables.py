@@ -779,3 +779,65 @@ def test_process_hash_first_of_three(spark):
     assert proc_routed[0]["reasons"][0]["message"] == (
         f"Process Executable Hash Match HASH: {md5}"
     )
+
+
+# ---- hex-string alternations (yara-x '( AA | BB )') ----------------------
+
+
+HEXALT_SIGS = _yara_sigs(
+    [YaraString("$h", "41 (42 | 43 44) 45", is_hex=True)], "any of them"
+)
+HEXALT_NESTED_SIGS = _yara_sigs(
+    [YaraString("$h", "41 (42 (50|51) | 45) 46", is_hex=True)],
+    "any of them",
+)
+
+
+@pytest.mark.parametrize(
+    "text,hit",
+    [
+        ("xABEx", True),  # first alternative
+        ("xACDEx", True),  # second alternative (two bytes)
+        ("xADEx", False),
+        ("xABx", False),
+    ],
+)
+def test_hex_alternation_truth_table(spark, text, hit):
+    ref = scan_turn("c0", 0, text, "t", HEXALT_SIGS, CFG)
+    assert (ref is not None) == hit
+    assert (0 in _routed_levels(spark, [(text, "t")], HEXALT_SIGS)) == hit
+
+
+@pytest.mark.parametrize(
+    "text,hit",
+    [
+        ("zABPFz", True),  # nested: 41 42 50 46
+        ("zABQFz", True),  # nested: 41 42 51 46
+        ("zAEFz", True),  # outer second alternative
+        ("zABFz", False),
+    ],
+)
+def test_hex_alternation_nested(spark, text, hit):
+    ref = scan_turn("c0", 0, text, "t", HEXALT_NESTED_SIGS, CFG)
+    assert (ref is not None) == hit
+    assert (
+        0 in _routed_levels(spark, [(text, "t")], HEXALT_NESTED_SIGS)
+    ) == hit
+
+
+def test_hex_alternation_rejections():
+    from loki_rs_spark.signatures.conditions import YaraUnsupportedError
+    from loki_rs_spark.signatures.parsers import parse_yara_rules
+
+    def rule(strings: str) -> str:
+        return (
+            "rule R {\n  strings:\n    " + strings
+            + "\n  condition:\n    any of them\n}"
+        )
+
+    with pytest.raises(YaraUnsupportedError):  # jump inside alternation
+        parse_yara_rules(rule("$h = { 41 (42 [2] | 43) }"))
+    with pytest.raises(YaraUnsupportedError):  # unbalanced
+        parse_yara_rules(rule("$h = { 41 (42 }"))
+    with pytest.raises(YaraUnsupportedError):  # empty alternative
+        parse_yara_rules(rule("$h = { 41 ( | 42) }"))
