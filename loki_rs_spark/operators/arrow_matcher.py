@@ -209,7 +209,10 @@ def match_gate_exprs(sigs: SignatureSet):
     from pyspark.sql import functions as F
 
     from ..signatures.compile import hex_to_regex, regex_literal, wide_interleave
-    from ..signatures.conditions import condition_negates_strings
+    from ..signatures.conditions import (
+        collect_uint_nodes,
+        condition_negates_strings,
+    )
 
     tool_alts = [f"(?:{ioc.pattern})" for ioc in sigs.filename_iocs]
     tool_gate = (
@@ -248,6 +251,21 @@ def match_gate_exprs(sigs: SignatureSet):
             if s.wide:
                 body = regex_literal(wide_interleave(s.pattern))
                 alts.append(f"(?i:{body})" if s.nocase else f"(?:{body})")
+        # uint reads have no string literal covering them: add a superset
+        # probe per node so a uint-only firing row is never gated blank.
+        # For '==' the exact fixed-offset comparison; for '!=' a length
+        # probe (any text long enough to read could satisfy it).
+        for node in collect_uint_nodes(rule.condition_ast):
+            eq = (
+                F.substring(F.col("text"), node.offset + 1, node.size)
+                == node.needle
+            )
+            if node.op == "eq":
+                conds.append(eq)
+            else:
+                conds.append(
+                    F.length(F.col("text")) >= node.offset + node.size
+                )
     if alts:
         conds.append(F.col("text").rlike("|".join(alts)))
 

@@ -199,6 +199,17 @@ class TextOps:
             .astype(bool)
         )
 
+    def length_at_least(self, n: int) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        return (
+            pc.fill_null(
+                pc.greater_equal(pc.utf8_length(self.arr), n), False
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+
     def nth_offsets(
         self, needle: str, nocase: bool, index: int, rows: np.ndarray
     ) -> dict[int, int]:
@@ -280,6 +291,20 @@ class _MaskBackend:
             out[i] = cmp_int(node.op, pos, node.value)
         return out
 
+    def uint_cmp(self, node) -> np.ndarray:
+        if self.text_ops is None:
+            raise RuntimeError(
+                "uint operator without text ops wired"
+            )  # pragma: no cover - engine wires text_ops for these rules
+        eq = self.text_ops.at_mask(node.needle, False, node.offset)
+        if node.op == "eq":
+            return eq
+        # '!=' is false on out-of-bounds reads (yara undefined semantics)
+        long_enough = self.text_ops.length_at_least(
+            node.offset + node.size
+        )
+        return long_enough & ~eq
+
     def str_ref(self, ident: str) -> np.ndarray:
         return self.masks[ident]
 
@@ -328,7 +353,10 @@ class CompiledEngine:
             )
             for ioc in sigs.filename_iocs
         ]
-        from ..signatures.conditions import collect_string_op_nodes
+        from ..signatures.conditions import (
+            collect_string_op_nodes,
+            collect_uint_nodes,
+        )
 
         self.yara: list[_CompiledYaraRule] = []
         for rule in sigs.yara_rules:
@@ -342,7 +370,8 @@ class CompiledEngine:
                     patterns,
                     ast,
                     {s.identifier: s for s in rule.strings},
-                    bool(collect_string_op_nodes(ast)),
+                    bool(collect_string_op_nodes(ast))
+                    or bool(collect_uint_nodes(ast)),
                 )
             )
         self.atom_index = {

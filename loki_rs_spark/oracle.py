@@ -191,6 +191,17 @@ class _SqlCondBackend:
             f"@{node.identifier[1:]}[{node.index}] has no SQL rendering"
         )
 
+    def uint_cmp(self, node) -> str:
+        eq = (
+            f"(substr(text, {node.offset + 1}, {node.size})"
+            f" = {_q(node.needle)})"
+        )
+        if node.op == "eq":
+            return eq
+        return (
+            f"(strlen(text) >= {node.offset + node.size} AND NOT {eq})"
+        )
+
     def and_(self, items):
         return "(" + " AND ".join(items) + ")"
 

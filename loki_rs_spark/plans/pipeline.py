@@ -450,6 +450,15 @@ class _CatalystCondBackend:
             "rendering; use the arrow/pandas matcher for this rule set"
         )
 
+    def uint_cmp(self, node) -> Column:
+        eq = (
+            F.substring(F.col("text"), node.offset + 1, node.size)
+            == node.needle
+        )
+        if node.op == "eq":
+            return eq
+        return (F.length(F.col("text")) >= node.offset + node.size) & ~eq
+
     def str_ref(self, ident: str) -> Column:
         return self.str_cols[ident]
 

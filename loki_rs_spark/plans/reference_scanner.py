@@ -227,6 +227,12 @@ class _RowBackend:
             found += 1
         return cmp_int(node.op, pos, node.value)
 
+    def uint_cmp(self, node) -> bool:
+        window = self.text[node.offset : node.offset + node.size]
+        if len(window) < node.size:
+            return False  # out-of-bounds read: yara undefined -> False
+        return (window == node.needle) == (node.op == "eq")
+
     def str_ref(self, ident: str) -> bool:
         return self.fired[ident]
 

@@ -191,7 +191,7 @@ def q_filename_ioc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTVAR_RULE_PREFIXES = ("ExtVar_", "Fullword_")
-COUNT_OFFSET_RULE_PREFIXES = ("Count_", "At_", "In_")
+COUNT_OFFSET_RULE_PREFIXES = ("Count_", "At_", "In_", "Uint_")
 
 
 def _yara_rule_subset_hits(

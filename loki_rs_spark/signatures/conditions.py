@@ -34,12 +34,13 @@ YaraUnsupportedError at parse time rather than silently misfiring):
     and_expr := not_expr ('and' not_expr)*
     not_expr := 'not' not_expr | primary
     primary  := '(' expr ')' | of_term | ext_pred | count_cmp
-              | offset_cmp | STR_ID at_in?
+              | offset_cmp | uint_cmp | STR_ID at_in?
     of_term  := ('any' | 'all' | INT) 'of' 'them'
     ext_pred := VAR OP ( STRING | REGEX )
     count_cmp  := COUNT_ID CMP INT              -- '#a > 2'
     offset_cmp := OFFSET_ID ('[' INT ']')? CMP INT  -- '@a[1] < 100'
     at_in    := 'at' INT | 'in' '(' INT '..' INT ')'
+    uint_cmp := ('uint8'|'uint16'|'uint32') '(' INT ')' ('=='|'!=') INT
     VAR      := filename | filepath | extension | filetype | owner
     OP       := '==' | '!=' | contains | icontains | startswith |
                 istartswith | endswith | iendswith | iequals | matches
@@ -175,6 +176,23 @@ class OffsetCmp:
     index: int  # 1-based
     op: str  # eq|ne|gt|ge|lt|le
     value: int
+
+
+@dataclass(frozen=True)
+class UintCmp:
+    """'uint8/uint16/uint32(OFFSET) ==|!= VALUE' — yara-x's little-endian
+    integer reads at a fixed offset (the MZ/PE-header idiom). Desugared at
+    parse time to a fixed-offset characters comparison: `needle` is the
+    value's little-endian bytes as characters (each byte validated
+    0x01-0x7f — the text column's char==byte range; 0x00 would not
+    round-trip through SQL literals). Out-of-bounds reads are yara's
+    `undefined` -> the comparison is False (for != this means the text
+    must still be long enough)."""
+
+    size: int  # 1 | 2 | 4
+    offset: int
+    op: str  # eq | ne
+    needle: str  # chr(b) for b in value.to_bytes(size, 'little')
 
 
 INT_CMPS = {
@@ -465,6 +483,42 @@ class _Parser:
                     f"'of' expects 'them' or a ($set), got {v2!r}"
                 )
             return OfThem(val)
+        if kind == "word" and val in ("uint8", "uint16", "uint32"):
+            size = {"uint8": 1, "uint16": 2, "uint32": 4}[val]
+            if self.next()[0] != "lpar":
+                raise YaraUnsupportedError(f"{val} expects '(offset)'")
+            k2, v2 = self.next()
+            if k2 != "int":
+                raise YaraUnsupportedError(
+                    f"{val} offset must be an integer, got {v2!r}"
+                )
+            offset = _to_int(v2)
+            if self.next()[0] != "rpar":
+                raise YaraUnsupportedError(f"unbalanced {val}(...)")
+            op_kind, op_val = self.next()
+            if op_kind != "cmp" or op_val not in ("==", "!="):
+                raise YaraUnsupportedError(
+                    f"{val} supports only ==/!= comparisons, got {op_val!r}"
+                )
+            v_kind, v_val = self.next()
+            if v_kind != "int":
+                raise YaraUnsupportedError(
+                    f"{val} comparison expects an integer, got {v_val!r}"
+                )
+            value = _to_int(v_val)
+            if value >= 1 << (8 * size):
+                raise YaraUnsupportedError(
+                    f"{val} compared against {v_val} (out of range)"
+                )
+            hay = value.to_bytes(size, "little")
+            if any(b == 0 or b >= 0x80 for b in hay):
+                raise YaraUnsupportedError(
+                    f"{val} value {v_val}: little-endian bytes outside "
+                    "0x01-0x7f cannot match a text column"
+                )
+            return UintCmp(
+                size, offset, INT_CMPS[op_val], "".join(chr(b) for b in hay)
+            )
         if kind == "word" and val in EXT_VARS:
             op_kind, op_val = self.next()
             op = _OPS.get(op_val)
@@ -508,6 +562,8 @@ def collect_of_terms(node) -> list[OfThem]:
 
 
 def condition_uses_strings(node) -> bool:
+    """Does the condition reference DEFINED strings (so the rule must
+    declare some)? UintCmp reads the text directly and needs none."""
     if isinstance(node, (OfThem, StrRef, CountCmp, AtExpr, InExpr, OffsetCmp)):
         return True
     if isinstance(node, Not):
@@ -525,6 +581,18 @@ def collect_string_op_nodes(node) -> list:
         return collect_string_op_nodes(node.operand)
     if isinstance(node, (AndExpr, OrExpr)):
         return [t for x in node.items for t in collect_string_op_nodes(x)]
+    return []
+
+
+def collect_uint_nodes(node) -> list:
+    """Every UintCmp node — the text gate needs a superset probe per
+    node, since no string literal covers them."""
+    if isinstance(node, UintCmp):
+        return [node]
+    if isinstance(node, Not):
+        return collect_uint_nodes(node.operand)
+    if isinstance(node, (AndExpr, OrExpr)):
+        return [t for x in node.items for t in collect_uint_nodes(x)]
     return []
 
 
@@ -620,7 +688,7 @@ def condition_negates_strings(node, neg: bool = False) -> bool:
       Unsafe when the effective blanked value (A, flipped by odd nots) is
       True: a row whose real count fails the comparison would falsely
       fire once blanked (e.g. `#a < 5` with real count 7)."""
-    if isinstance(node, (OfThem, StrRef, AtExpr, InExpr, OffsetCmp)):
+    if isinstance(node, (OfThem, StrRef, AtExpr, InExpr, OffsetCmp, UintCmp)):
         return neg
     if isinstance(node, CountCmp):
         blank_fires = cmp_int(node.op, 0, node.value)
@@ -656,4 +724,6 @@ def render_condition(node, backend):
         return backend.in_expr(node)
     if isinstance(node, OffsetCmp):
         return backend.offset_cmp(node)
+    if isinstance(node, UintCmp):
+        return backend.uint_cmp(node)
     raise YaraUnsupportedError(f"unknown AST node: {node!r}")

@@ -32,3 +32,11 @@ rule In_Window_Token {
     condition:
         $t in (2..8) and #t == 1
 }
+
+rule Uint_Banner_Magic {
+    meta:
+        score = 44
+        description = "uint16 magic at offset 0 (the MZ-header idiom)"
+    condition:
+        uint16(0) == 0x4142
+}

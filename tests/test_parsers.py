@@ -171,6 +171,7 @@ def test_bundled_corpus_loads():
         "Count_Marker_Three",
         "At_Zero_Banner",
         "In_Window_Token",
+        "Uint_Banner_Magic",
         "EICAR_Test_Payload",
         "Netcat_Shell",
         "Meterpreter_Indicator",
@@ -179,12 +180,14 @@ def test_bundled_corpus_loads():
         "ExtVar_OfSet_Indicators",
         "Fullword_Probe",
     ]
-    assert sigs.yara_rules[5].score == 75
+    assert sigs.yara_rules[6].score == 75
     # ext-var conditions parse to ASTs and a stringless rule is legal
-    assert sigs.yara_rules[7].strings == ()
-    assert sigs.yara_rules[8].condition == '1 of ($ind*) and owner == "assistant"'
-    assert sigs.yara_rules[9].strings[0].fullword
-    # count/offset conditions survive the loader round-trip
+    assert sigs.yara_rules[8].strings == ()
+    assert sigs.yara_rules[9].condition == '1 of ($ind*) and owner == "assistant"'
+    assert sigs.yara_rules[10].strings[0].fullword
+    # count/offset/uint conditions survive the loader round-trip
     assert sigs.yara_rules[0].condition == "#m >= 3"
     assert sigs.yara_rules[1].condition == "$b at 0"
     assert sigs.yara_rules[2].condition == "$t in (2..8) and #t == 1"
+    assert sigs.yara_rules[3].condition == "uint16(0) == 0x4142"
+    assert sigs.yara_rules[3].strings == ()

@@ -480,7 +480,7 @@ def test_unsupported_yara_constructs_raise():
     with pytest.raises(YaraUnsupportedError):  # hex byte >= 0x80
         parse_yara_rules(rule("$a = { 4D 5A 90 }", "any of them"))
     with pytest.raises(YaraUnsupportedError):  # unsupported condition fn
-        parse_yara_rules(rule('$a = "x"', "uint16(0) == 0x5a4d"))
+        parse_yara_rules(rule('$a = "x"', "filesize > 100"))
     with pytest.raises(YaraUnsupportedError):  # of-set selecting nothing
         parse_yara_rules(rule('$a = "x"', "any of ($zzz*)"))
     with pytest.raises(YaraUnsupportedError):  # wildcard ref outside of-set
@@ -841,3 +841,96 @@ def test_hex_alternation_rejections():
         parse_yara_rules(rule("$h = { 41 (42 }"))
     with pytest.raises(YaraUnsupportedError):  # empty alternative
         parse_yara_rules(rule("$h = { 41 ( | 42) }"))
+
+
+# ---- uintN(offset) reads (yara-x MZ/PE-header idiom) ---------------------
+
+
+UINT_SIGS = _sigs(
+    yara_rules=[
+        YaraRule("MZ", 80, "", "", "", (), "uint16(0) == 0x5a4d"),
+    ]
+)
+UINT_NE_SIGS = _sigs(
+    yara_rules=[
+        YaraRule("NotMZ", 80, "", "", "", (), "uint16(0) != 0x5a4d"),
+    ]
+)
+UINT_MIX_SIGS = _sigs(
+    yara_rules=[
+        YaraRule(
+            "MZ_And_Str", 80, "", "", "",
+            (YaraString("$a", "payload"),),
+            "uint16(0) == 0x5a4d and $a",
+        ),
+    ]
+)
+
+
+@pytest.mark.parametrize(
+    "text,eq_hit,ne_hit",
+    [
+        ("MZ rest of header", True, False),  # 0x4d 0x5a little-endian
+        ("ZM wrong order", False, True),
+        ("M", False, False),  # too short: undefined -> False for BOTH
+        ("", False, False),
+        ("xMZ not at zero", False, True),
+    ],
+)
+def test_uint16_truth_table(spark, text, eq_hit, ne_hit):
+    for sigs, hit in ((UINT_SIGS, eq_hit), (UINT_NE_SIGS, ne_hit)):
+        ref = scan_turn("c0", 0, text, "t", sigs, CFG)
+        assert (ref is not None) == hit, (text, sigs)
+        routed = _routed_levels(spark, [(text, "t")], sigs)
+        assert (0 in routed) == hit, (text, sigs)
+
+
+def test_uint_with_string_and_gate(spark):
+    """A uint+string conjunction must survive the text gate (the uint term
+    contributes its own gate probe; a rule with ONLY a uint term must not
+    be gated blank either)."""
+    assert scan_turn("c0", 0, "MZ payload here", "t", UINT_MIX_SIGS, CFG)
+    assert scan_turn("c0", 0, "MZ nothing", "t", UINT_MIX_SIGS, CFG) is None
+    routed = _routed_levels(spark, [("MZ payload here", "t")], UINT_MIX_SIGS)
+    assert 0 in routed
+    # uint-only rule through the full pipeline (gate soundness)
+    routed2 = _routed_levels(spark, [("MZ alone", "t")], UINT_SIGS)
+    assert 0 in routed2
+
+
+def test_uint8_uint32(spark):
+    sigs8 = _sigs(
+        yara_rules=[YaraRule("U8", 80, "", "", "", (), "uint8(2) == 0x41")]
+    )
+    assert scan_turn("c0", 0, "xyA", "t", sigs8, CFG) is not None
+    assert scan_turn("c0", 0, "xyB", "t", sigs8, CFG) is None
+    sigs32 = _sigs(
+        yara_rules=[
+            # 'ABCD' little-endian = 0x44434241
+            YaraRule("U32", 80, "", "", "", (), "uint32(0) == 0x44434241")
+        ]
+    )
+    assert scan_turn("c0", 0, "ABCD tail", "t", sigs32, CFG) is not None
+    assert scan_turn("c0", 0, "ABCX tail", "t", sigs32, CFG) is None
+    assert 0 in _routed_levels(spark, [("ABCD tail", "t")], sigs32)
+
+
+def test_uint_rejections():
+    from loki_rs_spark.signatures.conditions import YaraUnsupportedError
+    from loki_rs_spark.signatures.parsers import parse_yara_rules
+
+    def rule(condition: str) -> str:
+        return "rule R {\n  condition:\n    " + condition + "\n}"
+
+    with pytest.raises(YaraUnsupportedError):  # uint64 unsupported
+        parse_yara_rules(rule("uint64(0) == 1"))
+    with pytest.raises(YaraUnsupportedError):  # ordering comparisons
+        parse_yara_rules(rule("uint16(0) > 5"))
+    with pytest.raises(YaraUnsupportedError):  # value out of range
+        parse_yara_rules(rule("uint8(0) == 300"))
+    with pytest.raises(YaraUnsupportedError):  # byte >= 0x80
+        parse_yara_rules(rule("uint16(0) == 0x80ff"))
+    with pytest.raises(YaraUnsupportedError):  # NUL byte
+        parse_yara_rules(rule("uint16(0) == 0x0041"))
+    # the MZ idiom parses as a stringless rule
+    assert len(parse_yara_rules(rule("uint16(0) == 0x5a4d"))) == 1
