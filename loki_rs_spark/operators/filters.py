@@ -83,19 +83,23 @@ def cloud_path_predicate(path: Column) -> Column:
         | s.startswith("onedrive-")
         | s.startswith("nextcloud-"),
     )
-    # windows(2) pair scan: zip each segment with its successor
-    tail = F.slice(
-        segs, 2, F.greatest(F.size(segs) - 1, F.lit(0))
-    )
+    # windows(2) pair scan: zip each segment with its successor. Both
+    # slices are the SAME length (size-1) so zip_with never null-pads —
+    # a trailing 'library' pairs with nothing and yields false, matching
+    # the reference's windows(2) (not NULL, which would three-value-poison
+    # the enclosing filter; see round-3 ADVICE).
+    n = F.greatest(F.size(segs) - 1, F.lit(0))
+    head = F.slice(segs, 1, n)
+    tail = F.slice(segs, 2, n)
     pair = F.exists(
         F.zip_with(
-            segs,
+            head,
             tail,
             lambda a, b: (a == F.lit("library")) & (b == F.lit("cloudstorage")),
         ),
         lambda x: x,
     )
-    return direct | dynamic | pair
+    return F.coalesce(direct | dynamic | pair, F.lit(False))
 
 
 def system_path_predicate(
@@ -103,17 +107,18 @@ def system_path_predicate(
 ) -> Column:
     """F5: unix system-path skip (filesystem_scan.rs:630-654): path starts
     with any system prefix, ends with /initctl, or sits under a mounted-
-    device root unless --scan-all-drives."""
-    lowered = F.lower(path)
+    device root unless --scan-all-drives. Matching is CASE-SENSITIVE like
+    the reference's raw `starts_with`/`ends_with` on the path string
+    (filesystem_scan.rs:632-654) — '/PROC/x' is NOT skipped there."""
     pred = F.lit(False)
     for p in LINUX_PATH_SKIPS_START:
-        pred = pred | lowered.startswith(p)
+        pred = pred | path.startswith(p)
     for p in LINUX_PATH_SKIPS_END:
-        pred = pred | lowered.endswith(p)
+        pred = pred | path.endswith(p)
     if not scan_all_drives:
         for p in MOUNTED_DEVICES:
-            pred = pred | lowered.startswith(p)
-    return pred
+            pred = pred | path.startswith(p)
+    return F.coalesce(pred, F.lit(False))
 
 
 def apply_path_taxonomy_filters(
@@ -124,9 +129,16 @@ def apply_path_taxonomy_filters(
     """F4+F5 applied together (the reference applies both before the
     expensive scan, filesystem_scan.rs:623-654). `tool` plays the path
     role in the transcript model; transcripts rarely carry such paths, so
-    this stays an opt-in operator rather than a DEFAULT_CONFIG stage."""
-    col = F.col(path_col)
-    return df.filter(
-        ~cloud_path_predicate(col)
-        & ~system_path_predicate(col, scan_all_drives=scan_all_drives)
-    )
+    this stays an opt-in operator rather than a DEFAULT_CONFIG stage.
+
+    A NULL path is treated as '' (kept): the reference only ever sees
+    concrete path strings, and silently dropping NULL-path rows here
+    would contradict the F7 convention that corrupt records survive as
+    `errors`. The cloud skip is gated on `not scan_all_drives`, matching
+    filesystem_scan.rs:622-628 ("Always exclude cloud paths unless
+    scan_all_drives is true")."""
+    col = F.coalesce(F.col(path_col), F.lit(""))
+    pred = ~system_path_predicate(col, scan_all_drives=scan_all_drives)
+    if not scan_all_drives:
+        pred = pred & ~cloud_path_predicate(col)
+    return df.filter(pred)

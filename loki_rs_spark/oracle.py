@@ -166,9 +166,12 @@ class _SqlCondBackend:
 
     def count_cmp(self, node) -> str:
         col, needle = self._folded(node.identifier)
+        # byte-length arithmetic is self-consistent here: numerator and
+        # divisor are BOTH byte counts, so the quotient is the occurrence
+        # count even for non-ASCII needles.
         count = (
             f"((strlen({col}) - strlen(replace({col}, {_q(needle)}, '')))"
-            f" // {len(needle)})"
+            f" // {len(needle.encode('utf-8'))})"
         )
         return f"({count} {_SQL_CMP[node.op]} {node.value})"
 
@@ -198,8 +201,11 @@ class _SqlCondBackend:
         )
         if node.op == "eq":
             return eq
+        # length() = CHARACTER count, matching the matchers' character-
+        # offset convention (utf8_length / F.length / Python len); strlen
+        # would count bytes and diverge on non-ASCII text.
         return (
-            f"(strlen(text) >= {node.offset + node.size} AND NOT {eq})"
+            f"(length(text) >= {node.offset + node.size} AND NOT {eq})"
         )
 
     def and_(self, items):

@@ -36,6 +36,10 @@ def with_part_id(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    """Distinct part_ids recorded in the lineage table. A missing lineage
+    dir (fresh run) is the empty set; any OTHER failure (corrupt footer,
+    transient FS error) propagates — treating it as 'nothing completed'
+    would silently trigger a full re-scan instead of surfacing the fault."""
     try:
         rows = (
             spark.read.parquet(f"{out_dir}/lineage")
@@ -44,7 +48,7 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
             .collect()
         )
         return {r["part_id"] for r in rows}
-    except Exception:
+    except AnalysisException:  # PATH_NOT_FOUND on first run
         return set()
 
 

@@ -83,3 +83,37 @@ def test_apply_path_taxonomy_filters(spark):
     df = spark.createDataFrame(rows, "k string, tool string")
     kept = [r["k"] for r in apply_path_taxonomy_filters(df).collect()]
     assert kept == ["keep"]
+
+
+def test_trailing_library_segment_is_false_not_null(spark):
+    # round-3 ADVICE: zip_with null-padding made a trailing 'library'
+    # segment evaluate to NULL, silently dropping the row downstream.
+    paths = ["/home/u/library", "/home/u/Library/", "library"]
+    got = _eval(spark, cloud_path_predicate, paths)
+    assert got == {p: False for p in paths}
+
+
+def test_system_prefix_is_case_sensitive(spark):
+    # reference filesystem_scan.rs:632-654 matches raw path strings
+    got = _eval(spark, system_path_predicate, ["/PROC/123", "/proc/123"])
+    assert got["/PROC/123"] is False
+    assert got["/proc/123"] is True
+
+
+def test_null_path_rows_are_kept(spark):
+    rows = [("keep", "/home/u/code.py"), ("nullp", None)]
+    df = spark.createDataFrame(rows, "k string, tool string")
+    kept = sorted(r["k"] for r in apply_path_taxonomy_filters(df).collect())
+    assert kept == ["keep", "nullp"]
+
+
+def test_scan_all_drives_keeps_cloud_paths(spark):
+    # reference filesystem_scan.rs:622-628: cloud skip applies only when
+    # NOT scan_all_drives
+    rows = [("cloud", "/home/u/OneDrive/x"), ("system", "/proc/x")]
+    df = spark.createDataFrame(rows, "k string, tool string")
+    kept = [
+        r["k"]
+        for r in apply_path_taxonomy_filters(df, scan_all_drives=True).collect()
+    ]
+    assert kept == ["cloud"]

@@ -181,3 +181,20 @@ def test_combined_report_aggregates(spark, result, tmp_path):
     for host in report.values():
         assert host["total"] == n
         assert host["alerts"] + host["warnings"] + host["notices"] == n
+
+
+def test_completed_buckets_missing_dir_is_empty(spark, tmp_path):
+    assert completed_buckets(spark, str(tmp_path / "nope")) == set()
+
+
+def test_completed_buckets_corrupt_lineage_propagates(spark, tmp_path):
+    # A corrupt lineage table must RAISE, not silently report "nothing
+    # completed" (which would trigger a misleading full re-scan).
+    out = tmp_path / "out"
+    lineage = out / "lineage"
+    lineage.mkdir(parents=True)
+    (lineage / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception) as ei:
+        completed_buckets(spark, str(out))
+    # must not be the PATH_NOT_FOUND AnalysisException swallow path
+    assert "PATH_NOT_FOUND" not in str(ei.value)
