@@ -157,45 +157,78 @@ def _wait_for_idle(
                                    - (time.time() - started))
 
 
+def _wait_credits(
+    min_mbs: float, max_wait: float = 150.0
+) -> tuple[float, float]:
+    """Block until the aggregate-CPU probe reads healthy (the hypervisor
+    refills burst credits on idle), bounded by `max_wait`. Returns
+    (last probe MB/s, seconds waited). Unconditional — the driver's
+    invocation sets no env vars, so nothing here may be opt-in."""
+    waited = 0.0
+    mt = _cpu_speed_mt(duration=0.5)
+    while mt < min_mbs and waited < max_wait:
+        time.sleep(15)
+        waited += 15.5  # probe itself burns ~0.5s of credit
+        mt = _cpu_speed_mt(duration=0.5)
+    return mt, waited
+
+
 def _scan_worker(master: str, sf_dir: str, rep: int) -> None:
-    """Runs in a fresh JVM: full scan pipeline, prints JSON to stdout."""
+    """Runs in a fresh JVM: full scan pipeline over the MATERIALIZED
+    transcript table (sources.transcripts.materialized_transcripts — the
+    stored-table shape the north rule describes; generating rows inline
+    would measure the synthetic generator's expression trees instead of
+    the scan).
+
+    Every measured pass is individually credit-gated: the hypervisor
+    throttles AGGREGATE guest CPU via burst credits that refill on ~idle
+    (observed 6x swings with zero guest load), and warm-up burns ~4x more
+    of the tank at 4x the cores — which skews any N-vs-4N ratio measured
+    immediately after. Gating each pass on the same absolute probe floor
+    means every parallelism level measures from a comparable credit
+    state; the reported probe is the one attached to the BEST pass, so
+    the parent's probe-parity check compares what was actually measured."""
     from loki_rs_spark.plans.pipeline import scan_transcripts
     from loki_rs_spark.queries import bundled_signatures
     from loki_rs_spark.session import get_spark
-    from loki_rs_spark.sources.transcripts import load_transcripts
+    from loki_rs_spark.sources.transcripts import materialized_transcripts
 
+    mt_canon = float(
+        os.environ.get("SPARK_GRAFT_MT_CANON", str(CANONICAL_CPU_MT_MBS))
+    )
     cores = int(master.split("[")[1].rstrip("]"))
     spark = get_spark(
         app_name=f"bench-{master}", master=master, shuffle_partitions=cores
     )
-    transcripts = load_transcripts(spark, sf_dir, rep=rep)
+    transcripts = materialized_transcripts(spark, sf_dir, rep=rep)
     result = scan_transcripts(spark, transcripts, bundled_signatures())
     n_turns = result.scanned.count()  # cheap: no UDF in this subplan
-    # 3 warm-up passes (python-daemon spawn + C2 JIT needs several
+    # 3 warm-up passes (python-daemon spawn + JIT needs several
     # iterations to reach steady state), then min of 3 measured passes —
     # single-run timings on this box swing 2x from JIT recompilation, so
     # the steady-state minimum is the honest number.
     for _ in range(3):
         _noop(result.routed)
-    # The hypervisor throttles aggregate guest CPU via burst credits that
-    # refill on idle (see _cpu_speed_mt). Warm-up burns the tank — and
-    # burns ~4x more of it at 4x the cores, which SKEWS the N-vs-4N
-    # scaling ratio if measurement starts immediately. Idle here so every
-    # parallelism level measures from the same full-credit state; this
-    # measures the CODE's steady-state capability, not the host's credit
-    # mechanics.
-    time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "75")))
-    times = []
-    for _ in range(3):
+    times: list[tuple[float, float]] = []  # (elapsed, probe_before)
+    for _ in range(4):
+        probe, _w = _wait_credits(0.8 * mt_canon)
         started = time.time()
         _noop(result.routed)
-        times.append(time.time() - started)
-    print(json.dumps({"elapsed": min(times), "turns": n_turns,
-                      "all_runs": [round(t, 2) for t in times]}))
+        times.append((time.time() - started, probe))
+    best, best_probe = min(times)
+    print(json.dumps({
+        "elapsed": best,
+        "turns": n_turns,
+        "all_runs": [round(t, 2) for t, _ in times],
+        "pass_probes_mbs": [round(p, 1) for _, p in times],
+        "best_pass_probe_mbs": round(best_probe, 1),
+    }))
     spark.stop()
 
 
 def _run_scan_subprocess(master: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_MT_CANON"] = str(CANONICAL_CPU_MT_MBS)
     out = subprocess.run(
         [sys.executable, __file__, "--scan-worker", master, SF_DIR,
          str(BENCH_REP)],
@@ -203,6 +236,7 @@ def _run_scan_subprocess(master: str) -> dict:
         text=True,
         timeout=1800,
         cwd=str(REPO),
+        env=env,
     )
     last = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not last:
@@ -293,7 +327,12 @@ def _best_scan(master: str, attempts: int = 1,
         probe, probe_mt = _wait_for_idle(min_fraction=min_fraction)
         r = _run_scan_subprocess(master)
         r["cpu_probe_mbs"] = round(probe, 1)
-        r["cpu_probe_mt_mbs"] = round(probe_mt, 1)
+        # parity checks use the probe attached to the worker's BEST pass
+        # (each pass is credit-gated inside the worker); fall back to the
+        # parent's pre-JVM probe for older worker output shapes.
+        r["cpu_probe_mt_mbs"] = r.get(
+            "best_pass_probe_mbs", round(probe_mt, 1)
+        )
         print(f"  {master} attempt {i + 1}: {r}", file=sys.stderr)
         if not best or r["elapsed"] < best["elapsed"]:
             best = r

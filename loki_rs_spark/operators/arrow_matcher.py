@@ -76,6 +76,83 @@ def _mask(arr, pattern: str, *, regex: bool, ignore_case: bool = False) -> np.nd
     return m.to_numpy(zero_copy_only=False).astype(bool)
 
 
+class _CompactCol:
+    """Candidate-proportional kernel evaluation for one string column.
+
+    The pipeline's JVM gates blank every non-candidate row to '' before
+    the bridge, so a typical batch is >90% empty strings — yet each of the
+    ~O(100) per-signature kernels still walked the full batch. Two
+    batch-local reductions make kernel cost proportional to CANDIDATE
+    bytes instead:
+
+    * compaction — kernels run over only the non-blank rows plus one ''
+      sentinel whose result is scattered to every blank row (byte-identical
+      to evaluating the kernel on '' per blank row; NULL rows stay False,
+      matching pa boolean->numpy astype semantics);
+    * dictionary encoding — repeated texts (templated tool output, retry
+      loops, replayed logs) collapse to unique values before the kernel,
+      and masks gather back through the code indices. Skipped when the
+      batch is mostly unique (encode cost would exceed kernel savings).
+
+    Masks returned are full-batch-length and identical to running each
+    kernel over the raw column, verified by the routed-row-equality tests.
+    """
+
+    # dictionary-encode only when uniques shrink the kernel input enough
+    # to beat the one extra hash pass over the batch
+    _DICT_MAX_UNIQUE_FRACTION = 0.67
+
+    def __init__(self, arr) -> None:
+        arr = _as_array(arr)
+        self.arr = arr
+        self.n = len(arr)
+        lens = pc.fill_null(pc.utf8_length(arr), 0).to_numpy(
+            zero_copy_only=False
+        )
+        self.sel = np.nonzero(lens)[0]
+        self.full = len(self.sel) == self.n
+        self.null_sel = None
+        self.codes = None
+        if self.full:
+            kernel_input = arr
+        else:
+            if arr.null_count:
+                self.null_sel = np.nonzero(
+                    arr.is_null().to_numpy(zero_copy_only=False).astype(bool)
+                )[0]
+            kernel_input = pa.concat_arrays(
+                [
+                    arr.take(pa.array(self.sel, type=pa.int64())),
+                    pa.array([""], type=arr.type),
+                ]
+            )
+        if len(kernel_input) > 64:
+            enc = kernel_input.dictionary_encode()
+            uniques = enc.dictionary
+            if len(uniques) <= self._DICT_MAX_UNIQUE_FRACTION * len(
+                kernel_input
+            ):
+                self.codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                kernel_input = uniques
+        self.kernel_input = kernel_input
+
+    def mask(self, fn) -> np.ndarray:
+        """fn(pa.Array) -> np bool mask over that array; returns the
+        equivalent full-batch mask."""
+        small = fn(self.kernel_input)
+        if self.codes is not None:
+            small = small[self.codes]
+        if self.full:
+            return small
+        out = np.full(self.n, bool(small[-1]))
+        out[self.sel] = small[:-1]
+        if self.null_sel is not None:
+            out[self.null_sel] = False
+        return out
+
+
 def _string_mask(arr, s) -> np.ndarray:
     """Boolean mask for one YaraString: literal kernel when possible,
     RE2 regex (modifier-aware, see signatures/compile.py) otherwise."""
@@ -100,10 +177,15 @@ def _list_struct_array(
     )
 
 
-def match_record_batch(engine, batch: pa.RecordBatch) -> tuple[pa.Array, pa.Array]:
-    """Match one RecordBatch; returns (_m_fname, _m_yara) list arrays.
+def match_record_batch(
+    engine, batch: pa.RecordBatch
+) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """Match one RecordBatch; returns (_m_fname, _m_yara, c2_gate) arrays.
     `ext_bits` is the packed external-variable bitmask the pipeline
-    computed JVM-side (conditions.collect_ext_atoms ordering)."""
+    computed JVM-side (conditions.collect_ext_atoms ordering). Accepts
+    raw (ungated) text/tool: dict-encoded compaction keeps kernel cost
+    proportional to unique candidate bytes, so no JVM pre-blanking is
+    needed — and masks are then EXACT, not gated supersets."""
     text = batch.column("text")
     tool = batch.column("tool")
     bits_np = (
@@ -113,14 +195,18 @@ def match_record_batch(engine, batch: pa.RecordBatch) -> tuple[pa.Array, pa.Arra
     )
     ext = ExtBits(bits_np, engine.atom_index)
     n = batch.num_rows
+    tool_c = _CompactCol(tool)
+    text_c = _CompactCol(text)
 
     # ---- filename IOCs (J3)
     fn_counts = np.zeros(n, dtype=np.int64)
     fn_rows: dict[int, list[dict]] = {}
     for _rx, _fp_rx, ioc in engine.fname:
-        mask = _mask(tool, ioc.pattern, regex=True)
+        mask = tool_c.mask(lambda a: _mask(a, ioc.pattern, regex=True))
         if ioc.fp_pattern:
-            mask &= ~_mask(tool, ioc.fp_pattern, regex=True)
+            mask &= ~tool_c.mask(
+                lambda a: _mask(a, ioc.fp_pattern, regex=True)
+            )
         for idx in np.nonzero(mask)[0]:
             i = int(idx)
             fn_rows.setdefault(i, []).append(
@@ -139,7 +225,10 @@ def match_record_batch(engine, batch: pa.RecordBatch) -> tuple[pa.Array, pa.Arra
     text_cache: dict[int, str] = {}
     text_ops = None
     for compiled in engine.yara:
-        masks = [_string_mask(text, s) for s in compiled.rule.strings]
+        masks = [
+            text_c.mask(lambda a, _s=s: _string_mask(a, _s))
+            for s in compiled.rule.strings
+        ]
         if compiled.uses_text_ops and text_ops is None:
             text_ops = TextOps(text)
         backend = _MaskBackend(
@@ -181,7 +270,31 @@ def match_record_batch(engine, batch: pa.RecordBatch) -> tuple[pa.Array, pa.Arra
             ya_counts[i] += 1
     yara_arr = _list_struct_array(YARA_STRUCT, ya_counts, ya_rows)
 
-    return fname_arr, yara_arr
+    return fname_arr, yara_arr, _c2_gate_from(text_c, engine.c2)
+
+
+def _c2_gate_from(text_c: "_CompactCol", c2_iocs) -> "pa.Array":
+    """Arrow rendering of ioc_join.c2_text_gate (the J4 candidate gate):
+    OR of case-insensitive literal `match_substring` kernels over the
+    dict-encoded text — one C++ pass per IOC over UNIQUE values instead
+    of a per-row JVM contains-chain. Superset semantics identical to the
+    JVM/oracle chain (contains(lower(text), lower(server))); beyond
+    C2_GATE_MAX_LITERALS both degrade to the structural '.' gate and the
+    broadcast-join path takes over. NULL text yields False."""
+    from .ioc_join import C2_GATE_MAX_LITERALS
+
+    out = np.zeros(text_c.n, dtype=bool)
+    if not c2_iocs:
+        return pa.array(out)
+    if len(c2_iocs) > C2_GATE_MAX_LITERALS:
+        return pa.array(text_c.mask(lambda a: _mask(a, ".", regex=False)))
+    for ioc in c2_iocs:
+        out |= text_c.mask(
+            lambda a, _s=ioc.server: _mask(
+                a, _s, regex=False, ignore_case=True
+            )
+        )
+    return pa.array(out)
 
 
 def match_gate_exprs(sigs: SignatureSet):
@@ -294,6 +407,8 @@ def match_scores_record_batch(
     )
     ext = ExtBits(bits_np, engine.atom_index)
     n = batch.num_rows
+    tool_c = _CompactCol(tool)
+    text_c = _CompactCol(text)
 
     def score_list_array(per_source: list[tuple[np.ndarray, int]]) -> pa.Array:
         """(mask, score) per source, source order preserved per row."""
@@ -314,15 +429,20 @@ def match_scores_record_batch(
 
     fname_sources = []
     for _rx, _fp_rx, ioc in engine.fname:
-        mask = _mask(tool, ioc.pattern, regex=True)
+        mask = tool_c.mask(lambda a: _mask(a, ioc.pattern, regex=True))
         if ioc.fp_pattern:
-            mask &= ~_mask(tool, ioc.fp_pattern, regex=True)
+            mask &= ~tool_c.mask(
+                lambda a: _mask(a, ioc.fp_pattern, regex=True)
+            )
         fname_sources.append((mask, ioc.score))
 
     yara_sources = []
     text_ops = None
     for compiled in engine.yara:
-        masks = [_string_mask(text, s) for s in compiled.rule.strings]
+        masks = [
+            text_c.mask(lambda a, _s=s: _string_mask(a, _s))
+            for s in compiled.rule.strings
+        ]
         if compiled.uses_text_ops and text_ops is None:
             text_ops = TextOps(text)
         backend = _MaskBackend(
@@ -335,17 +455,23 @@ def match_scores_record_batch(
         fired = render_condition(compiled.ast, backend)
         yara_sources.append((np.asarray(fired, dtype=bool), compiled.rule.score))
 
-    return score_list_array(fname_sources), score_list_array(yara_sources)
+    return (
+        score_list_array(fname_sources),
+        score_list_array(yara_sources),
+        _c2_gate_from(text_c, engine.c2),
+    )
 
 
 def make_arrow_score_matcher_udf(spark: SparkSession, sigs: SignatureSet):
     """arrow_udf wrapper for match_scores_record_batch: returns
-    struct<fname:array<int>, yara:array<int>> of match scores."""
+    struct<fname:array<int>, yara:array<int>, c2:boolean> — score arrays
+    plus the J4 candidate-gate bit (computed over the RAW text column,
+    which the yara gates may have blanked)."""
     from pyspark.sql.functions import arrow_udf
 
     bc = spark.sparkContext.broadcast(sigs.to_payload())
 
-    @arrow_udf("struct<fname:array<int>,yara:array<int>>")
+    @arrow_udf("struct<fname:array<int>,yara:array<int>,c2:boolean>")
     def match_scores_arrow(
         it: Iterator[Tuple[pa.Array, pa.Array, pa.Array]],
     ) -> Iterator[pa.Array]:
@@ -355,9 +481,11 @@ def make_arrow_score_matcher_udf(spark: SparkSession, sigs: SignatureSet):
                 [_as_array(text), _as_array(tool), _as_array(ext_bits)],
                 names=["text", "tool", "ext_bits"],
             )
-            fname_arr, yara_arr = match_scores_record_batch(engine, batch)
+            fname_arr, yara_arr, c2_arr = match_scores_record_batch(
+                engine, batch
+            )
             yield pa.StructArray.from_arrays(
-                [fname_arr, yara_arr], names=["fname", "yara"]
+                [fname_arr, yara_arr, c2_arr], names=["fname", "yara", "c2"]
             )
 
     return match_scores_arrow
@@ -376,7 +504,8 @@ def make_arrow_matcher_udf(spark: SparkSession, sigs: SignatureSet):
         "struct<fname:array<struct<pattern:string,score:int,"
         "description:string>>,"
         "yara:array<struct<rule:string,score:int,description:string,"
-        "author:string,reference:string,matched_strings:array<string>>>>"
+        "author:string,reference:string,matched_strings:array<string>>>,"
+        "c2:boolean>"
     )
 
     @arrow_udf(return_ddl)
@@ -389,9 +518,9 @@ def make_arrow_matcher_udf(spark: SparkSession, sigs: SignatureSet):
                 [_as_array(text), _as_array(tool), _as_array(ext_bits)],
                 names=["text", "tool", "ext_bits"],
             )
-            fname_arr, yara_arr = match_record_batch(engine, batch)
+            fname_arr, yara_arr, c2_arr = match_record_batch(engine, batch)
             yield pa.StructArray.from_arrays(
-                [fname_arr, yara_arr], names=["fname", "yara"]
+                [fname_arr, yara_arr, c2_arr], names=["fname", "yara", "c2"]
             )
 
     return match_signatures_arrow
@@ -422,7 +551,7 @@ def with_matches_arrow(
     def gen(batches):
         engine = _engine_for(bc.value)
         for batch in batches:
-            fname_arr, yara_arr = match_record_batch(engine, batch)
+            fname_arr, yara_arr, _c2 = match_record_batch(engine, batch)
             yield pa.RecordBatch.from_arrays(
                 list(batch.columns) + [fname_arr, yara_arr],
                 names=[*batch.schema.names, "_m_fname", "_m_yara"],

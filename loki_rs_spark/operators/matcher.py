@@ -377,6 +377,8 @@ class CompiledEngine:
         self.atom_index = {
             atom: i for i, atom in enumerate(collect_ext_atoms(sigs))
         }
+        # J4 candidate-gate literals (arrow_matcher.c2_gate_array)
+        self.c2 = list(sigs.c2_iocs)
 
     def match_batch(
         self, text: pd.Series, tool: pd.Series, ext_bits: pd.Series

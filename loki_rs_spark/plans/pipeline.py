@@ -123,26 +123,36 @@ def scan_transcripts(
         )
         from ..operators.ext_bits import ext_bits_col
 
-        # JVM-side candidate gates: blank non-candidate strings so the
-        # Python bridge only carries candidate bytes (see match_gate_exprs
-        # docstring — text gating auto-disables for non-monotone
-        # conditions). External-variable truth crosses as the packed
-        # `ext_bits` bigint computed here in whole-stage codegen, so
-        # role/extension/filetype never cross the bridge at all.
-        text_gate, tool_gate = match_gate_exprs(sigs)
-        gated_text = (
-            F.col("text")
-            if text_gate is None
-            else F.when(text_gate, F.col("text")).otherwise(F.lit(""))
-        )
-        gated_tool = F.when(tool_gate, F.col("tool")).otherwise(F.lit(""))
         if matcher == "arrow":
+            # Raw text/tool cross the bridge ONCE, ungated: the Arrow
+            # matcher dict-encodes each batch so every kernel (YARA
+            # strings, filename IOCs, AND the J4 c2 candidate gate —
+            # struct field `c2`) runs over unique values only, which is
+            # strictly cheaper than maintaining JVM contains/rlike gate
+            # chains plus a second (blanked) copy of the text column.
+            # Masks are then EXACT, so no monotonicity caveats. External-
+            # variable truth still crosses as the packed `ext_bits`
+            # bigint computed in whole-stage codegen.
             audf = make_arrow_matcher_udf(spark, sigs)
+            df = df.withColumn(
+                "_m", audf(F.col("text"), F.col("tool"), ext_bits_col(sigs))
+            )
         else:
+            # pandas path keeps the JVM-side candidate gates: blank
+            # non-candidate strings so the Python bridge only carries
+            # candidate bytes (see match_gate_exprs docstring — text
+            # gating auto-disables for non-monotone conditions).
+            text_gate, tool_gate = match_gate_exprs(sigs)
+            gated_text = (
+                F.col("text")
+                if text_gate is None
+                else F.when(text_gate, F.col("text")).otherwise(F.lit(""))
+            )
+            gated_tool = F.when(tool_gate, F.col("tool")).otherwise(F.lit(""))
             audf = make_matcher_udf(spark, sigs)
-        df = df.withColumn(
-            "_m", audf(gated_text, gated_tool, ext_bits_col(sigs))
-        )
+            df = df.withColumn(
+                "_m", audf(gated_text, gated_tool, ext_bits_col(sigs))
+            )
         fname_reasons = _fname_reasons_from(F.col("_m.fname"))
         yara_reasons = _yara_reasons_from(F.col("_m.yara"))
     else:
@@ -178,14 +188,16 @@ def scan_transcripts(
         spark, df, sigs, source_kind=source_kind
     )
     # The C2 literal gate feeds BOTH the candidate predicate and the host
-    # extraction. Aliased into its own column so the OR-of-contains chain
-    # evaluates once per row: CollapseProject only inlines aliases that
-    # are cheap or used once, and codegen subexpression elimination does
-    # NOT rescue duplicated trees inside conditional branches (measured
-    # +9s/4M rows at local[8] when instantiated inline).
-    df = df.withColumn(
-        "_c2g", c2_text_gate(F.col("text"), list(sigs.c2_iocs))
-    )
+    # extraction, aliased into its own column so it evaluates once per
+    # row. On the arrow path it is the UDF's `c2` output (Arrow kernels
+    # over dict-encoded text); elsewhere it is the JVM contains-chain
+    # (c2_text_gate) — identical superset semantics either way.
+    if matcher == "arrow":
+        df = df.withColumn("_c2g", F.col("_m.c2"))
+    else:
+        df = df.withColumn(
+            "_c2g", c2_text_gate(F.col("text"), list(sigs.c2_iocs))
+        )
     c2_reasons = c2_reason_array(
         F.col("text"), list(sigs.c2_iocs), gate=F.col("_c2g")
     )
@@ -250,32 +262,26 @@ def scan_transcripts(
 
     evaluated = project(df)
 
-    # Pushdown barrier: without it, Catalyst's PushDownPredicates rewrites
+    # Candidate-first routing: Catalyst's PushDownPredicates rewrites
     # filter(project(x)) into project(filter(x)) by SUBSTITUTING the
-    # n_reasons/level expressions into the predicate — the (expensive,
-    # higher-order) reason/score expression tree then evaluates up to 3x
-    # per row. A non-deterministic column pins the filter ABOVE the
-    # projection, so the tree evaluates exactly once per row (measured:
-    # -20% CPU/row on the full pipeline). The barrier column itself is
-    # dropped and never observed, so determinism of results is unaffected.
-    routed_base = evaluated
-    if not evaluated.isStreaming:
-        # monotonically_increasing_id is rejected in streaming plans;
-        # micro-batches are small enough that the duplicated evaluation
-        # doesn't matter there.
-        routed_base = evaluated.withColumn(
-            "_barrier", F.monotonically_increasing_id()
-        )
-    routed = (
-        routed_base.filter(
-            (F.col("n_reasons") > 0) & F.col("level").isNotNull()
-        )
-        .withColumn(
-            "reasons", F.slice(F.col("all_reasons"), 1, cfg.max_reasons)
-        )
+    # n_reasons/level expressions into the predicate (a non-deterministic
+    # barrier column does NOT stop it — only predicates referencing a
+    # non-deterministic alias are pinned), so filtering `evaluated` would
+    # re-evaluate the heavy reason/score trees up to 3x per row. Instead
+    # the routed branch filters FIRST on the cheap materialized candidate
+    # precursors (matcher output sizes, hash-join hit, C2 gate bit) —
+    # the same superset predicate that gates reason assembly — so the
+    # expensive trees, substituted or not, only ever evaluate over the
+    # sparse candidate rows (measured -2.4s/M rows at local[8]).
+    if matcher in ("arrow", "pandas"):
+        routed_pre = df.filter(candidate)
+    else:
+        routed_pre = df  # catalyst path: no cheap precursors
+    routed = project(routed_pre).filter(
+        (F.col("n_reasons") > 0) & F.col("level").isNotNull()
+    ).withColumn(
+        "reasons", F.slice(F.col("all_reasons"), 1, cfg.max_reasons)
     )
-    if "_barrier" in routed.columns:
-        routed = routed.drop("_barrier")
 
     return ScanResult(scanned=scanned, evaluated=evaluated, routed=routed)
 
@@ -298,10 +304,7 @@ def scan_transcripts_scores(
 
     `evaluated`/`routed` carry (conv_id, turn_idx, role, tool, ts,
     n_reasons, score, level) only."""
-    from ..operators.arrow_matcher import (
-        make_arrow_score_matcher_udf,
-        match_gate_exprs,
-    )
+    from ..operators.arrow_matcher import make_arrow_score_matcher_udf
     from ..operators.ext_bits import ext_bits_col
 
     df = apply_exclusions(transcripts, cfg.exclude_patterns)
@@ -311,22 +314,15 @@ def scan_transcripts_scores(
     df = with_hashes(df)
     df = anti_join_fp_hashes(spark, df, sigs)
 
-    text_gate, tool_gate = match_gate_exprs(sigs)
-    gated_text = (
-        F.col("text")
-        if text_gate is None
-        else F.when(text_gate, F.col("text")).otherwise(F.lit(""))
-    )
-    gated_tool = F.when(tool_gate, F.col("tool")).otherwise(F.lit(""))
     sudf = make_arrow_score_matcher_udf(spark, sigs)
-    df = df.withColumn("_s", sudf(gated_text, gated_tool, ext_bits_col(sigs)))
+    df = df.withColumn(
+        "_s", sudf(F.col("text"), F.col("tool"), ext_bits_col(sigs))
+    )
 
     df, hash_reasons, hash_hit = hash_reason_array(
         spark, df, sigs, source_kind=source_kind
     )
-    df = df.withColumn(
-        "_c2g", c2_text_gate(F.col("text"), list(sigs.c2_iocs))
-    )
+    df = df.withColumn("_c2g", F.col("_s.c2"))
     c2_reasons = c2_reason_array(
         F.col("text"), list(sigs.c2_iocs), gate=F.col("_c2g")
     )
@@ -367,26 +363,39 @@ def scan_transcripts_scores(
             "score"
         ),
     )
-    evaluated = staged.select(
+    def finish(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "tool",
+            "ts",
+            "n_reasons",
+            "score",
+            severity_col(F.col("score"), cfg).alias("level"),
+        )
+
+    evaluated = finish(staged)
+    # candidate-first routing (see scan_transcripts): heavy score trees
+    # evaluate only over candidate rows on the routed branch
+    routed_staged = df.filter(candidate).select(
         "conv_id",
         "turn_idx",
         "role",
         "tool",
         "ts",
-        "n_reasons",
-        "score",
-        severity_col(F.col("score"), cfg).alias("level"),
+        sub_scores.alias("_scores"),
     )
-    routed_base = evaluated
-    if not evaluated.isStreaming:
-        routed_base = evaluated.withColumn(
-            "_barrier", F.monotonically_increasing_id()
-        )
-    routed = routed_base.filter(
+    routed_staged = routed_staged.select(
+        "*",
+        F.size("_scores").alias("n_reasons"),
+        rounded_score_col(weighted_score_col(F.col("_scores"))).alias(
+            "score"
+        ),
+    )
+    routed = finish(routed_staged).filter(
         (F.col("n_reasons") > 0) & F.col("level").isNotNull()
     )
-    if "_barrier" in routed.columns:
-        routed = routed.drop("_barrier")
     return ScanResult(scanned=scanned, evaluated=evaluated, routed=routed)
 
 
