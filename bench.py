@@ -292,7 +292,40 @@ def _time_queries(spark) -> dict[str, float]:
         f"  ngram_hot_shingle_guard: {timings['ngram_hot_shingle_guard']}s",
         file=sys.stderr,
     )
+    timings.update(_time_c2_scale(spark))
     return timings
+
+
+def _time_c2_scale(spark) -> dict[str, float]:
+    """Sub-linear-in-IOC-count evidence for the J4 scale path: scan the
+    same 99k-turn table with the bundled corpus (12 C2 IOCs) and with
+    5,000 additional planted IOCs. The dict-probe resolution
+    (arrow_matcher._c2_match_lists) costs one hash probe per distinct
+    server LENGTH, so the 417x larger corpus should cost far less than
+    2x — a CASE-chain rendering would grow ~400x."""
+    from loki_rs_spark.plans.pipeline import scan_transcripts_scores
+    from loki_rs_spark.queries import bundled_signatures
+    from loki_rs_spark.signatures.model import C2IOC, SignatureSet
+    from loki_rs_spark.sources.transcripts import materialized_transcripts
+    from dataclasses import replace
+
+    t = materialized_transcripts(spark, SF_DIR, rep=20)
+    base = bundled_signatures()
+    big = replace(
+        base,
+        c2_iocs=base.c2_iocs
+        + tuple(
+            C2IOC(f"srv{i}.scale{i % 97}.test", 75, f"bulk-{i}")
+            for i in range(5000)
+        ),
+    )
+    out = {}
+    for name, sigs in (("c2_scan_12_iocs", base), ("c2_scan_5k_iocs", big)):
+        routed = scan_transcripts_scores(spark, t, sigs).routed
+        _noop(routed)  # warm
+        out[name] = _min_of(lambda: _noop(routed))
+        print(f"  {name}: {out[name]}s", file=sys.stderr)
+    return out
 
 
 def _time_hot_shingle_guard(spark) -> float:

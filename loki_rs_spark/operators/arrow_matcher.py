@@ -39,6 +39,7 @@ from .matcher import (
     ExtBits,
     TextOps,
     _engine_for,
+    _HOST_RX,
     _MaskBackend,
     format_matched_data,
 )
@@ -151,6 +152,25 @@ class _CompactCol:
         if self.null_sel is not None:
             out[self.null_sel] = False
         return out
+
+    def row_to_kernel_index(self) -> np.ndarray:
+        """For each batch row, the index into `kernel_input` holding its
+        value (blank/NULL rows point at the '' sentinel). Lets per-unique
+        computations (e.g. C2 host extraction) expand to rows."""
+        if self.full:
+            if self.codes is not None:
+                return self.codes
+            return np.arange(self.n, dtype=np.int64)
+        # sentinel '' cannot collide with a (non-blank) compacted value,
+        # so after dictionary_encode its code is always the LAST index
+        idx = np.full(self.n, len(self.kernel_input) - 1, dtype=np.int64)
+        small = (
+            self.codes[:-1]
+            if self.codes is not None
+            else np.arange(len(self.sel), dtype=np.int64)
+        )
+        idx[self.sel] = small
+        return idx
 
 
 def _string_mask(arr, s) -> np.ndarray:
@@ -270,31 +290,96 @@ def match_record_batch(
             ya_counts[i] += 1
     yara_arr = _list_struct_array(YARA_STRUCT, ya_counts, ya_rows)
 
-    return fname_arr, yara_arr, _c2_gate_from(text_c, engine.c2)
+    c2_counts, c2_rows = _c2_match_lists(text_c, engine)
+    return fname_arr, yara_arr, _c2_struct_array(c2_counts, c2_rows)
 
 
-def _c2_gate_from(text_c: "_CompactCol", c2_iocs) -> "pa.Array":
-    """Arrow rendering of ioc_join.c2_text_gate (the J4 candidate gate):
-    OR of case-insensitive literal `match_substring` kernels over the
-    dict-encoded text — one C++ pass per IOC over UNIQUE values instead
-    of a per-row JVM contains-chain. Superset semantics identical to the
-    JVM/oracle chain (contains(lower(text), lower(server))); beyond
-    C2_GATE_MAX_LITERALS both degrade to the structural '.' gate and the
-    broadcast-join path takes over. NULL text yields False."""
+C2_STRUCT = pa.struct(
+    [
+        pa.field("host", pa.string()),
+        pa.field("score", pa.int32()),
+        pa.field("description", pa.string()),
+    ]
+)
+
+# per-row cap on emitted C2 matches: the pipeline slices assembled
+# reasons to max_matches (100) anyway, so entries beyond that can never
+# be observed — this bounds memory on pathological host-stuffed rows
+_MAX_C2_MATCHES = 100
+
+
+def _c2_match_lists(
+    text_c: "_CompactCol", engine
+) -> tuple[np.ndarray, dict[int, list[tuple[str, int, str]]]]:
+    """J4 C2 matching, the arrow scale path. Two stages, both over the
+    dict-encoded UNIQUE text values:
+
+    1. candidate gate — OR of case-insensitive literal kernels per IOC
+       server (identical superset semantics to ioc_join.c2_text_gate);
+       beyond C2_GATE_MAX_LITERALS one structural '.' kernel instead
+       (a host token requires a dot);
+    2. per candidate unique: extract host tokens (ioc_join.HOST_PATTERN
+       over the lowercased text, occurrence order preserved) and resolve
+       each via engine.c2_lookup — a dict probe per distinct server
+       LENGTH, so cost is sub-linear in IOC count (matcher.py
+       CompiledEngine docs; reference walk: src/main.rs:614-635).
+
+    Returns (per-row match counts, {row: [(host, score, desc), ...]}) —
+    per-host-occurrence duplication and first-match-wins preserved."""
+    n = text_c.n
+    counts = np.zeros(n, dtype=np.int64)
+    if not engine.c2:
+        return counts, {}
     from .ioc_join import C2_GATE_MAX_LITERALS
 
-    out = np.zeros(text_c.n, dtype=bool)
-    if not c2_iocs:
-        return pa.array(out)
-    if len(c2_iocs) > C2_GATE_MAX_LITERALS:
-        return pa.array(text_c.mask(lambda a: _mask(a, ".", regex=False)))
-    for ioc in c2_iocs:
-        out |= text_c.mask(
-            lambda a, _s=ioc.server: _mask(
-                a, _s, regex=False, ignore_case=True
-            )
+    ki = text_c.kernel_input
+    if len(engine.c2) > C2_GATE_MAX_LITERALS:
+        gate = _mask(ki, ".", regex=False)
+    else:
+        gate = np.zeros(len(ki), dtype=bool)
+        for ioc in engine.c2:
+            gate |= _mask(ki, ioc.server, regex=False, ignore_case=True)
+
+    uniq_lists: dict[int, list[tuple[str, int, str]]] = {}
+    for u in np.nonzero(gate)[0]:
+        value = ki[int(u)].as_py()
+        if not value:
+            continue
+        out: list[tuple[str, int, str]] = []
+        for host in _HOST_RX.findall(value.lower()):
+            hit = engine.c2_lookup(host)
+            if hit is not None:
+                out.append((host, hit[1], hit[2]))
+                if len(out) >= _MAX_C2_MATCHES:
+                    break
+        if out:
+            uniq_lists[int(u)] = out
+
+    rows: dict[int, list[tuple[str, int, str]]] = {}
+    if uniq_lists:
+        row_idx = text_c.row_to_kernel_index()
+        hit_uniques = np.array(sorted(uniq_lists), dtype=np.int64)
+        hit_rows = np.nonzero(np.isin(row_idx, hit_uniques))[0]
+        for r in hit_rows:
+            lst = uniq_lists[int(row_idx[r])]
+            rows[int(r)] = lst
+            counts[int(r)] = len(lst)
+    return counts, rows
+
+
+def _c2_struct_array(
+    counts: np.ndarray, rows: dict[int, list[tuple[str, int, str]]]
+) -> pa.Array:
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    flat: list[dict] = []
+    for i in sorted(rows):
+        flat.extend(
+            {"host": h, "score": s, "description": d} for h, s, d in rows[i]
         )
-    return pa.array(out)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=C2_STRUCT)
+    )
 
 
 def match_gate_exprs(sigs: SignatureSet):
@@ -455,23 +540,32 @@ def match_scores_record_batch(
         fired = render_condition(compiled.ast, backend)
         yara_sources.append((np.asarray(fired, dtype=bool), compiled.rule.score))
 
+    c2_counts, c2_rows = _c2_match_lists(text_c, engine)
+    c2_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(c2_counts, out=c2_offsets[1:])
+    c2_scores = pa.ListArray.from_arrays(
+        pa.array(c2_offsets, type=pa.int32()),
+        pa.array(
+            [s for i in sorted(c2_rows) for _h, s, _d in c2_rows[i]],
+            type=pa.int32(),
+        ),
+    )
     return (
         score_list_array(fname_sources),
         score_list_array(yara_sources),
-        _c2_gate_from(text_c, engine.c2),
+        c2_scores,
     )
 
 
 def make_arrow_score_matcher_udf(spark: SparkSession, sigs: SignatureSet):
     """arrow_udf wrapper for match_scores_record_batch: returns
-    struct<fname:array<int>, yara:array<int>, c2:boolean> — score arrays
-    plus the J4 candidate-gate bit (computed over the RAW text column,
-    which the yara gates may have blanked)."""
+    struct<fname:array<int>, yara:array<int>, c2:array<int>> — per-source
+    score arrays including the J4 C2 matches (scores only)."""
     from pyspark.sql.functions import arrow_udf
 
     bc = spark.sparkContext.broadcast(sigs.to_payload())
 
-    @arrow_udf("struct<fname:array<int>,yara:array<int>,c2:boolean>")
+    @arrow_udf("struct<fname:array<int>,yara:array<int>,c2:array<int>>")
     def match_scores_arrow(
         it: Iterator[Tuple[pa.Array, pa.Array, pa.Array]],
     ) -> Iterator[pa.Array]:
@@ -505,7 +599,7 @@ def make_arrow_matcher_udf(spark: SparkSession, sigs: SignatureSet):
         "description:string>>,"
         "yara:array<struct<rule:string,score:int,description:string,"
         "author:string,reference:string,matched_strings:array<string>>>,"
-        "c2:boolean>"
+        "c2:array<struct<host:string,score:int,description:string>>>"
     )
 
     @arrow_udf(return_ddl)

@@ -201,6 +201,9 @@ def filename_reason_array(tool: Column, iocs: list[FilenameIOC]) -> Column:
 # per-row linear scan over the list; fall back to the structural '.' gate
 # (host tokens require a dot) and let the extraction regex run instead.
 C2_GATE_MAX_LITERALS = 64
+# Hard cap for the Catalyst per-host CASE chain (c2_reason_array); the
+# arrow matcher's dict-probe path has no such limit.
+C2_CHAIN_MAX_IOCS = 512
 
 
 def c2_text_gate(text: Column, iocs: list[C2IOC]) -> Column:
@@ -238,6 +241,14 @@ def c2_reason_array(
     carry no port."""
     if not iocs:
         return F.array().cast(f"array<{REASON_TYPE}>")
+    if len(iocs) > C2_CHAIN_MAX_IOCS:
+        raise ValueError(
+            f"c2_reason_array renders a per-host CASE chain linear in IOC "
+            f"count; {len(iocs)} IOCs would produce an unusable plan. Use "
+            "the arrow matcher path (scan_transcripts(matcher='arrow')), "
+            "whose dict-probe C2 resolution is sub-linear in IOC count "
+            "(operators/arrow_matcher._c2_match_lists)."
+        )
     # Gate on the IOC server literals (c2_text_gate): only rows that could
     # possibly yield a C2 reason pay for the host-extraction regex —
     # measured ~5x cheaper over the bench corpus than the previous

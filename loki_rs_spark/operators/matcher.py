@@ -50,6 +50,13 @@ from ..signatures.conditions import (
 )
 from ..signatures.model import SignatureSet, YaraRule
 
+# compiled forms of ioc_join's host/IPv4 patterns (identical subset in
+# Java regex / RE2 / Python re — see ioc_join.HOST_PATTERN)
+from .ioc_join import HOST_PATTERN, IPV4_PATTERN
+
+_HOST_RX = re.compile(HOST_PATTERN)
+_IPV4_RX = re.compile(IPV4_PATTERN)
+
 MAX_YARA_MATCHES = 100
 
 FNAME_MATCH_TYPE = ArrayType(
@@ -377,8 +384,37 @@ class CompiledEngine:
         self.atom_index = {
             atom: i for i, atom in enumerate(collect_ext_atoms(sigs))
         }
-        # J4 candidate-gate literals (arrow_matcher.c2_gate_array)
+        # J4: C2 IOC hash table for the arrow matcher's scale path. The
+        # reference walks the IOC list linearly per remote address
+        # (src/main.rs:614-635, first match wins); here one dict probe
+        # per DISTINCT SERVER LENGTH replaces the walk — raw-endswith
+        # semantics ("xbad.net" DOES match IOC "bad.net", main.rs:629)
+        # reduce to host[-len(server):] == server, so probing each
+        # length present in the corpus is exhaustive. Sub-linear in IOC
+        # count: 5,000 IOCs of ~10 distinct lengths cost 10 probes/host.
         self.c2 = list(sigs.c2_iocs)
+        self.c2_table: dict[str, tuple[int, int, str]] = {}
+        for order, ioc in enumerate(self.c2):
+            # duplicate servers: first in file order wins
+            self.c2_table.setdefault(
+                ioc.server, (order, ioc.score, ioc.description)
+            )
+        self.c2_lengths = sorted({len(s) for s in self.c2_table})
+
+    def c2_lookup(self, host: str) -> tuple[int, int, str] | None:
+        """First-match-wins C2 IOC for one (lowercased) host token:
+        exact-only for IPv4 remotes, raw suffix-or-equality for domains
+        (src/main.rs:614-635). Returns (order, score, description)."""
+        if _IPV4_RX.fullmatch(host):
+            return self.c2_table.get(host)
+        best = None
+        for length in self.c2_lengths:
+            if length > len(host):
+                break
+            entry = self.c2_table.get(host[-length:])
+            if entry is not None and (best is None or entry[0] < best[0]):
+                best = entry
+        return best
 
     def match_batch(
         self, text: pd.Series, tool: pd.Series, ext_bits: pd.Series

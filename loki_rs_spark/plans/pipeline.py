@@ -187,20 +187,32 @@ def scan_transcripts(
     df, hash_reasons, hash_hit = hash_reason_array(
         spark, df, sigs, source_kind=source_kind
     )
-    # The C2 literal gate feeds BOTH the candidate predicate and the host
-    # extraction, aliased into its own column so it evaluates once per
-    # row. On the arrow path it is the UDF's `c2` output (Arrow kernels
-    # over dict-encoded text); elsewhere it is the JVM contains-chain
-    # (c2_text_gate) — identical superset semantics either way.
+    # J4 C2 enrichment. Arrow path: the matcher UDF already resolved the
+    # matches (struct field `c2`, host/score/description per host
+    # occurrence, first-IOC-wins — _c2_match_lists is the scale path,
+    # sub-linear in IOC count), so the JVM just renders reason structs
+    # and `_c2g` is the EXACT any-match bit. Pandas/catalyst paths keep
+    # the JVM contains-chain gate + per-host CASE chain (c2_reason_array,
+    # fine at bundled-corpus size, linear in IOC count).
     if matcher == "arrow":
-        df = df.withColumn("_c2g", F.col("_m.c2"))
+        df = df.withColumn("_c2g", F.size(F.col("_m.c2")) > 0)
+        c2_reasons = F.transform(
+            F.col("_m.c2"),
+            lambda m: reason_struct(
+                F.concat(
+                    F.lit("C2 IOC match in turn text HOST: "), m["host"]
+                ),
+                m["score"],
+                m["description"],
+            ),
+        )
     else:
         df = df.withColumn(
             "_c2g", c2_text_gate(F.col("text"), list(sigs.c2_iocs))
         )
-    c2_reasons = c2_reason_array(
-        F.col("text"), list(sigs.c2_iocs), gate=F.col("_c2g")
-    )
+        c2_reasons = c2_reason_array(
+            F.col("text"), list(sigs.c2_iocs), gate=F.col("_c2g")
+        )
 
     # Sparse fast path: the overwhelming majority of turns match nothing,
     # so gate the (allocation-heavy) reason assembly behind a cheap
@@ -322,23 +334,18 @@ def scan_transcripts_scores(
     df, hash_reasons, hash_hit = hash_reason_array(
         spark, df, sigs, source_kind=source_kind
     )
-    df = df.withColumn("_c2g", F.col("_s.c2"))
-    c2_reasons = c2_reason_array(
-        F.col("text"), list(sigs.c2_iocs), gate=F.col("_c2g")
-    )
     hash_scores = F.transform(_nz(hash_reasons), lambda r: r["score"])
-    c2_scores = F.transform(_nz(c2_reasons), lambda r: r["score"])
 
     assembled = F.slice(
         F.concat(
-            F.col("_s.fname"), hash_scores, F.col("_s.yara"), c2_scores
+            F.col("_s.fname"), hash_scores, F.col("_s.yara"), F.col("_s.c2")
         ),
         1,
         cfg.max_matches,
     )
     candidate = (
         hash_hit
-        | F.col("_c2g")
+        | (F.size(F.col("_s.c2")) > 0)
         | (F.size(F.col("_s.fname")) > 0)
         | (F.size(F.col("_s.yara")) > 0)
     )
