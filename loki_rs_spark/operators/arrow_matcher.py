@@ -432,6 +432,11 @@ def match_gate_exprs(sigs: SignatureSet):
             if s.is_hex:
                 alts.append(f"(?s:{hex_to_regex(s.pattern)})")
                 continue
+            if s.xor_min is not None or s.base64_mod or s.base64wide:
+                # variant-expanded strings: gate on the same alternation
+                # the matcher uses (raw literal would never appear)
+                alts.append(f"(?:{boolean_regex(s, 'lookaround')})")
+                continue
             if s.is_regex:
                 alts.append(
                     f"(?i:{s.pattern})" if s.nocase else f"(?:{s.pattern})"

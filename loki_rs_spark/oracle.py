@@ -500,6 +500,12 @@ def yara_count_offset_hits_sql(sigs: SignatureSet, rep: int) -> str:
     return _yara_subset_hits_sql(sigs, rep, COUNT_OFFSET_RULE_PREFIXES)
 
 
+def yara_xor_base64_hits_sql(sigs: SignatureSet, rep: int) -> str:
+    from .queries import XOR_B64_RULE_PREFIXES
+
+    return _yara_subset_hits_sql(sigs, rep, XOR_B64_RULE_PREFIXES)
+
+
 def c2_hits_sql(sigs: SignatureSet, rep: int) -> str:
     cte = transcripts_duckdb_cte("", rep=rep)
     c2 = _c2_reason_list(sigs)

@@ -130,10 +130,41 @@ def _hex_regex_own(body: str) -> str:
 
 
 def _string_occurrences(s: YaraString, text: str) -> list[tuple[int, str]]:
-    """(offset, matched_data) list for one YARA string, modifier-aware."""
+    """(offset, matched_data) list for one YARA string, modifier-aware.
+    Deliberately an OWN rendering (per-variant literal walks, not the
+    compile.py regex alternation) so the two implementations cross-check
+    each other."""
     if s.is_hex:
         rx = re.compile(_hex_regex_own(s.pattern), re.DOTALL)
         return [(m.start(), m.group(0)) for m in rx.finditer(text)]
+    if s.xor_min is not None:
+        hits: list[tuple[int, str]] = []
+        for key in range(s.xor_min, s.xor_max + 1):
+            xored = [ord(c) ^ key for c in s.pattern]
+            if any(b >= 0x80 for b in xored):
+                continue  # unmatchable in the text column model
+            variant = "".join(chr(b) for b in xored)
+            hits.extend(_literal_occurrences(text, variant, False, False))
+        hits.sort(key=lambda h: h[0])
+        return hits
+    if s.base64_mod or s.base64wide:
+        import base64 as _b64
+
+        data = s.pattern.encode("ascii")
+        hits = []
+        for k, lead in ((0, 0), (1, 2), (2, 3)):
+            enc = (
+                _b64.b64encode(b"\x00" * k + data).decode().rstrip("=")
+            )[lead:]
+            if not enc:
+                continue
+            if s.base64_mod:
+                hits.extend(_literal_occurrences(text, enc, False, False))
+            if s.base64wide:
+                wide = "".join(c + "\x00" for c in enc)
+                hits.extend(_literal_occurrences(text, wide, False, False))
+        hits.sort(key=lambda h: h[0])
+        return hits
     if s.is_regex:
         body = s.pattern
         if s.fullword:  # word-boundary wrap, own rendering (lookarounds)

@@ -192,6 +192,7 @@ def q_filename_ioc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTVAR_RULE_PREFIXES = ("ExtVar_", "Fullword_")
 COUNT_OFFSET_RULE_PREFIXES = ("Count_", "At_", "In_", "Uint_")
+XOR_B64_RULE_PREFIXES = ("Xor_", "B64_")
 
 
 def _yara_rule_subset_hits(
@@ -240,6 +241,16 @@ def q_yara_count_offset_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures/conditions.py). Oracle-checked against an independent
     DuckDB rendering (replace-count arithmetic + substr/position)."""
     return _yara_rule_subset_hits(spark, sf_dir, COUNT_OFFSET_RULE_PREFIXES)
+
+
+def q_yara_xor_base64_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 xor/base64 string modifiers in isolation (yara-x expands a
+    literal into keyed/encoded variants; signatures/compile.py renders
+    one regex alternation — xor_variants/base64_variants). Planted
+    triggers include the in-range xor'd form, the plain form (key 0x00),
+    an out-of-range decoy, and a realistic base64 stream whose
+    alignment-1 variant fires while the raw literal must not."""
+    return _yara_rule_subset_hits(spark, sf_dir, XOR_B64_RULE_PREFIXES)
 
 
 def q_c2_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,6 +1103,7 @@ QUERIES = {
     "filename_ioc_hits": q_filename_ioc_hits,
     "yara_extvar_hits": q_yara_extvar_hits,
     "yara_count_offset_hits": q_yara_count_offset_hits,
+    "yara_xor_base64_hits": q_yara_xor_base64_hits,
     "c2_hits": q_c2_hits,
     "archive_child_matches": q_archive_child_matches,
     "per_conv_rollup": q_per_conv_rollup,
@@ -1138,6 +1150,7 @@ def oracle_queries() -> dict[str, str]:
         "filename_ioc_hits": o.filename_ioc_hits_sql(sigs, rep),
         "yara_extvar_hits": o.yara_extvar_hits_sql(sigs, rep),
         "yara_count_offset_hits": o.yara_count_offset_hits_sql(sigs, rep),
+        "yara_xor_base64_hits": o.yara_xor_base64_hits_sql(sigs, rep),
         "c2_hits": o.c2_hits_sql(sigs, rep),
         "archive_child_matches": o.archive_child_matches_sql(sigs, cfg, rep),
         "per_conv_rollup": o.per_conv_rollup_sql(sigs, cfg, rep),

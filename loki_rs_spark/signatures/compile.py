@@ -36,7 +36,46 @@ from .model import YaraString
 
 _WORD_CLASS = "[0-9A-Za-z]"
 
-KNOWN_MODIFIERS = ("nocase", "wide", "ascii", "fullword")
+KNOWN_MODIFIERS = (
+    "nocase", "wide", "ascii", "fullword", "xor", "base64", "base64wide"
+)
+
+
+def xor_variants(pattern: str, lo: int, hi: int) -> list[str]:
+    """All single-byte-XOR transforms of an ASCII literal with keys in
+    [lo, hi] (yara-x `xor` modifier, src/main.rs:780-872 compiles it via
+    yara-x). Variants containing a byte >= 0x80 cannot occur inside the
+    engine's TEXT column (same convention as hex bytes >= 0x80,
+    hex_to_regex above) and are dropped; if EVERY key produces one, the
+    string is unmatchable here and the caller raises."""
+    out = []
+    for key in range(lo, hi + 1):
+        xored = [ord(c) ^ key for c in pattern]
+        if all(b < 0x80 for b in xored):
+            out.append("".join(chr(b) for b in xored))
+    return out
+
+
+def base64_variants(pattern: str) -> list[str]:
+    """The three base64 alignments of an ASCII literal (yara `base64`
+    modifier, as compiled by yara-x — the reference pulls yara-x 1.12,
+    Cargo.toml:35): encode with k = 0..2 leading pad bytes, strip '='
+    padding, and drop the {0: 0, 1: 2, 2: 3}[k] leading chars that
+    encode preceding-stream bits. Trailing chars are kept even when
+    partially padding-determined — yara's documented behavior (its
+    writingrules example for "This program cannot" keeps the trailing
+    'A'), reproduced verbatim so match parity holds."""
+    import base64 as _b64
+
+    data = pattern.encode("ascii")
+    lead_trim = {0: 0, 1: 2, 2: 3}
+    out = []
+    for k in range(3):
+        enc = _b64.b64encode(b"\x00" * k + data).decode("ascii").rstrip("=")
+        variant = enc[lead_trim[k]:]
+        if variant:
+            out.append(variant)
+    return out
 
 
 def regex_literal(s: str) -> str:
@@ -156,10 +195,49 @@ def hex_to_regex(body: str, context: str = "") -> str:
 def validate_string(s: YaraString) -> None:
     """Reject modifier combinations outside the supported subset."""
     ctx = f" (string {s.identifier})"
+    has_xor = s.xor_min is not None
+    has_b64 = s.base64_mod or s.base64wide
     if s.is_hex:
-        if s.nocase or s.wide or s.fullword:
+        if s.nocase or s.wide or s.fullword or has_xor or has_b64:
             raise YaraUnsupportedError(f"hex strings take no modifiers{ctx}")
         hex_to_regex(s.pattern, ctx)
+        return
+    if has_xor:
+        # yara forbids xor with nocase/base64*; regex can't carry it; the
+        # wide/fullword combinations are legal yara but outside this
+        # engine's validated subset — reject loudly rather than guess.
+        if s.nocase or has_b64 or s.is_regex or s.wide or s.fullword:
+            raise YaraUnsupportedError(
+                f"'xor' only supported on plain ascii literals{ctx}"
+            )
+        if not (0 <= s.xor_min <= s.xor_max <= 0xFF):
+            raise YaraUnsupportedError(
+                f"xor range 0x{s.xor_min:02x}-0x{s.xor_max:02x} invalid{ctx}"
+            )
+        if not s.pattern.isascii():
+            raise YaraUnsupportedError(
+                f"'xor' on a non-ascii literal{ctx}"
+            )
+        if not xor_variants(s.pattern, s.xor_min, s.xor_max):
+            raise YaraUnsupportedError(
+                f"every xor key in 0x{s.xor_min:02x}-0x{s.xor_max:02x} "
+                f"produces bytes >= 0x80, unmatchable in a text column{ctx}"
+            )
+        return
+    if has_b64:
+        # yara forbids base64* with nocase/fullword/xor; 'wide' is
+        # expressed via base64wide, not the wide flag
+        if s.nocase or s.fullword or s.is_regex or s.wide:
+            raise YaraUnsupportedError(
+                f"'base64'/'base64wide' only supported on plain ascii "
+                f"literals{ctx}"
+            )
+        if not s.pattern.isascii():
+            raise YaraUnsupportedError(f"'base64' on a non-ascii literal{ctx}")
+        if len(s.pattern) < 3:
+            raise YaraUnsupportedError(
+                f"'base64' literals must be >= 3 bytes (yara rule){ctx}"
+            )
         return
     if s.wide and s.is_regex:
         raise YaraUnsupportedError(f"'wide' on regex strings{ctx}")
@@ -169,11 +247,24 @@ def validate_string(s: YaraString) -> None:
 
 def _core_forms(s: YaraString) -> list[str]:
     """Regex core(s) before fullword wrapping / flags: one entry per
-    encoding form (ascii and/or wide)."""
+    encoding form (ascii and/or wide, xor key, base64 alignment)."""
     if s.is_hex:
         return [hex_to_regex(s.pattern, f" (string {s.identifier})")]
     if s.is_regex:
         return [f"(?:{s.pattern})"]
+    if s.xor_min is not None:
+        return [
+            regex_literal(v)
+            for v in xor_variants(s.pattern, s.xor_min, s.xor_max)
+        ]
+    if s.base64_mod or s.base64wide:
+        forms = []
+        for v in base64_variants(s.pattern):
+            if s.base64_mod:
+                forms.append(regex_literal(v))
+            if s.base64wide:
+                forms.append(regex_literal(wide_interleave(v)))
+        return forms
     forms = []
     if s.ascii_form:
         forms.append(regex_literal(s.pattern))
@@ -209,8 +300,11 @@ def capture_regex(s: YaraString) -> re.Pattern:
 def literal_probe(s: YaraString) -> tuple[str, bool] | None:
     """If the string reduces to plain substring search, return
     (needle, ignore_case) for the fast literal kernels; else None.
-    Multi-form (wide+ascii) and fullword strings need the regex path."""
+    Multi-form (wide+ascii, xor, base64) and fullword strings need the
+    regex-alternation path."""
     if s.is_hex or s.is_regex or s.fullword:
+        return None
+    if s.xor_min is not None or s.base64_mod or s.base64wide:
         return None
     if s.wide and s.ascii_form:
         return None

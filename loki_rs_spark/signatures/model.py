@@ -50,6 +50,14 @@ class YaraString:
     wide: bool = False  # UTF-16LE interleave form
     ascii_form: bool = True  # plain form included (False for bare `wide`)
     is_hex: bool = False  # pattern is a { .. } hex-string body
+    # xor modifier: match any single-byte XOR of the literal with a key in
+    # [xor_min, xor_max] (yara `xor` = 0x00-0xff; `xor(0x01-0xff)` etc.)
+    xor_min: int | None = None
+    xor_max: int | None = None
+    # base64 modifiers: match the three base64 alignments of the literal
+    # (and/or their UTF-16LE-interleaved forms for base64wide)
+    base64_mod: bool = False
+    base64wide: bool = False
 
 
 @dataclass(frozen=True)

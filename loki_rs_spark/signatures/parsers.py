@@ -323,10 +323,20 @@ def _strip_comments(text: str) -> str:
     return "\n".join(out_lines)
 
 
+_XOR_MOD_RE = re.compile(
+    r"^xor(?:\((0x[0-9A-Fa-f]{1,2}|\d{1,3})"
+    r"(?:-(0x[0-9A-Fa-f]{1,2}|\d{1,3}))?\))?$"
+)
+
+
 def _parse_modifiers(raw: str, rule: str, ident: str) -> dict:
     """Parse the modifier tail of a string definition. Unknown modifiers
     RAISE (the reference compiles full yara-x, so silently dropping a
-    modifier here would silently change match semantics)."""
+    modifier here would silently change match semantics). `xor` accepts
+    yara's forms: bare (keys 0x00-0xff), xor(K) (single key), and
+    xor(LO-HI); base64/base64wide take no custom-alphabet argument
+    (rejected loudly — yara-x supports base64("..."), this subset
+    does not)."""
     tokens = _strip_comments(raw).split()
     out = {"nocase": False, "fullword": False, "wide": False}
     explicit_ascii = False
@@ -335,6 +345,24 @@ def _parse_modifiers(raw: str, rule: str, ident: str) -> dict:
             explicit_ascii = True
         elif tok in ("nocase", "fullword", "wide"):
             out[tok] = True
+        elif tok == "base64":
+            out["base64_mod"] = True
+        elif tok == "base64wide":
+            out["base64wide"] = True
+        elif tok.startswith("xor"):
+            m = _XOR_MOD_RE.match(tok)
+            if m is None:
+                raise YaraUnsupportedError(
+                    f"rule {rule}, string {ident}: unsupported xor form "
+                    f"{tok!r}"
+                )
+            lo = int(m.group(1), 0) if m.group(1) else 0x00
+            hi = (
+                int(m.group(2), 0)
+                if m.group(2)
+                else (lo if m.group(1) else 0xFF)
+            )
+            out["xor_min"], out["xor_max"] = lo, hi
         else:
             raise YaraUnsupportedError(
                 f"rule {rule}, string {ident}: unsupported modifier {tok!r}"

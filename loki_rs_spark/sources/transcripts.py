@@ -75,6 +75,20 @@ TEXT_RULES: tuple[tuple[int, int, str, str], ...] = (
     (1031, 119, "append", " pad-pad-pad early-window-token"),
     (1031, 223, "replace",
      "zz early-window-token mid early-window-token twice"),
+    # xor modifier probes (xor_base64.yar): 'SECRETMARKER' xor'd with
+    # 0x0a (inside Xor_Hidden_Marker's 0x00-0x1f range -> fires), the
+    # plain form (key 0x00, also in range -> fires), and xor'd with 0x20
+    # (outside the range -> must NOT fire); 'KEYEDPAYLOAD' xor 0x2a for
+    # the single-key form
+    (1033, 21, "append", " enc YOIXO^GKXAOX blob"),
+    (1033, 121, "append", " plain SECRETMARKER visible"),
+    (1033, 215, "append", " lower secretmarker decoy"),
+    (1039, 33, "append", " keyed aosonzksfekn payload"),
+    # base64 modifier probes: a realistic stream b64('X'+payload+'ZZ')
+    # containing alignment-1 of 'exfil-the-data' (fires); the PLAIN
+    # literal (must NOT fire: base64 strings drop the raw form)
+    (1049, 41, "append", " blob WGV4ZmlsLXRoZS1kYXRhWlo= end"),
+    (1049, 141, "append", " plain exfil-the-data mention"),
 )
 
 # (modulus, residue, tool value); default tool is 'tool-' || uid % 7.

@@ -179,6 +179,9 @@ def test_bundled_corpus_loads():
         "ExtVar_Mimikatz_Name",
         "ExtVar_OfSet_Indicators",
         "Fullword_Probe",
+        "Xor_Hidden_Marker",
+        "Xor_Single_Key",
+        "B64_Exfil_Marker",
     ]
     assert sigs.yara_rules[6].score == 75
     # ext-var conditions parse to ASTs and a stringless rule is legal

@@ -472,7 +472,9 @@ def test_unsupported_yara_constructs_raise():
         )
 
     with pytest.raises(YaraUnsupportedError):  # unknown modifier
-        parse_yara_rules(rule('$a = "x" xor', "any of them"))
+        parse_yara_rules(rule('$a = "x" private', "any of them"))
+    with pytest.raises(YaraUnsupportedError):  # xor + nocase combo
+        parse_yara_rules(rule('$a = "x" xor nocase', "any of them"))
     with pytest.raises(YaraUnsupportedError):  # wide on regex
         parse_yara_rules(rule("$a = /ab+/ wide", "any of them"))
     with pytest.raises(YaraUnsupportedError):  # wide fullword combo
