@@ -73,17 +73,25 @@ def routed_with_observation(routed: DataFrame):
 
 
 def write_severity_sinks(
-    routed: DataFrame, out_dir: str, mode: str = "overwrite"
+    routed: DataFrame,
+    out_dir: str,
+    mode: str = "overwrite",
+    fmt: str | None = None,
 ) -> None:
     """Per-severity fan-out in ONE pass: partitionBy('level') produces the
-    three sink directories. Rows are kept in stable (conv_id, turn_idx)
-    order within files via a range repartition — skew-safe because the
-    range partitioner SAMPLES the key distribution and splits oversized
-    conversations across partitions while preserving global order."""
-    (
+    three sink directories (or one Iceberg table level-partitioned, with
+    fmt='iceberg' — see sources/table_format.py). Rows are kept in stable
+    (conv_id, turn_idx) order within files via a range repartition —
+    skew-safe because the range partitioner SAMPLES the key distribution
+    and splits oversized conversations across partitions while preserving
+    global order."""
+    from ..sources.table_format import write_partitioned
+
+    write_partitioned(
         routed.repartitionByRange("conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .write.mode(mode)
-        .partitionBy("level")
-        .parquet(f"{out_dir}/routed")
+        .sortWithinPartitions("conv_id", "turn_idx"),
+        f"{out_dir}/routed",
+        ("level",),
+        mode=mode,
+        fmt=fmt,
     )

@@ -591,15 +591,16 @@ SELECT uid, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
 FROM transcripts"""
 
 
-_STOPWORDS = (" the ", " and ", " of ")
-
-
 def _stop_hits_sql() -> str:
-    terms = [
-        f"CAST((length(text) - length(replace(text, {_q(w)}, ''))) / {len(w)} AS INTEGER)"
-        for w in _STOPWORDS
-    ]
-    return "(" + " + ".join(terms) + ")"
+    """Independent DuckDB rendering of queries._stop_hits: tokenize once,
+    count membership in the same top-100 stopword table."""
+    from .queries import _STOPWORDS
+
+    in_list = ", ".join(_q(w) for w in _STOPWORDS)
+    return (
+        "CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"t -> t IN ({in_list}))) AS INTEGER)"
+    )
 
 
 def text_quality_sql(rep: int) -> str:

@@ -96,12 +96,17 @@ def run_resumable_scan(
 
     started = time.time()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
+    from ..sources.table_format import write_partitioned
+
+    # 'overwrite_partitions': parquet = dynamic partition overwrite (with
+    # the pre-clear above); iceberg = overwritePartitions(), an atomic
+    # REPLACE snapshot that subsumes the pre-clear (table_format.py)
+    write_partitioned(
         routed.repartition(F.col("part_id"))
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .write.mode("overwrite")
-        .partitionBy("part_id")
-        .parquet(f"{out_dir}/routed")
+        .sortWithinPartitions("conv_id", "turn_idx"),
+        f"{out_dir}/routed",
+        ("part_id",),
+        mode="overwrite_partitions",
     )
 
     # lineage + metrics: one row per completed bucket. Buckets with zero
@@ -138,7 +143,7 @@ def run_resumable_scan(
         .na.fill(0)
         .withColumn("completed_at", F.lit(started).cast("double"))
     )
-    metrics.write.mode("append").parquet(f"{out_dir}/lineage")
+    write_partitioned(metrics, f"{out_dir}/lineage", (), mode="append")
     return pending
 
 

@@ -379,19 +379,33 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STOPWORDS = (" the ", " and ", " of ")
+# Top-100 English stopwords (classic frequency list). The SIGNAL is a
+# real stopword table now; language-ID downstream remains a deliberate
+# heuristic (ratio threshold), not a trained model — documented as such.
+_STOPWORDS = (
+    "the", "of", "and", "a", "to", "in", "is", "you", "that", "it",
+    "he", "was", "for", "on", "are", "as", "with", "his", "they", "i",
+    "at", "be", "this", "have", "from", "or", "one", "had", "by", "word",
+    "but", "not", "what", "all", "were", "we", "when", "your", "can",
+    "said", "there", "use", "an", "each", "which", "she", "do", "how",
+    "their", "if", "will", "up", "other", "about", "out", "many", "then",
+    "them", "these", "so", "some", "her", "would", "make", "like", "him",
+    "into", "time", "has", "look", "two", "more", "write", "go", "see",
+    "number", "no", "way", "could", "people", "my", "than", "first",
+    "water", "been", "call", "who", "oil", "its", "now", "find", "long",
+    "down", "day", "did", "get", "come", "made", "may", "part",
+)
 
 
 def _stop_hits() -> F.Column:
-    terms = [
-        ((F.length("text") - F.length(F.replace(F.col("text"), F.lit(w))))
-         / F.lit(len(w))).cast("int")
-        for w in _STOPWORDS
-    ]
-    total = terms[0]
-    for t in terms[1:]:
-        total = total + t
-    return total.cast("int")
+    """Count of whitespace tokens whose lowercase form is a stopword —
+    ONE tokenize pass + an InSet membership probe per token (Catalyst
+    folds a 100-item isin into a hash-set InSet), instead of one
+    replace() scan of the text per stopword."""
+    tokens = F.split(F.lower(F.col("text")), " ")
+    return F.size(F.filter(tokens, lambda t: t.isin(*_STOPWORDS))).cast(
+        "int"
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
