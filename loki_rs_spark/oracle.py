@@ -732,6 +732,26 @@ SELECT uid_a, uid_b, round(jac, 4) AS jaccard
 FROM verified WHERE jac >= {threshold}"""
 
 
+def neardup_groups_sql(rep: int, threshold: float = 0.7) -> str:
+    """Connected components over the minhash near-dup pairs via a
+    recursive transitive-closure CTE (min reachable uid = canonical);
+    independent rendering of the Spark label-propagation loop."""
+    pairs = minhash_lsh_pairs_sql(rep, threshold)
+    return f"""WITH RECURSIVE
+p AS (SELECT uid_a, uid_b FROM ({pairs}) q),
+edges AS (SELECT uid_a AS u, uid_b AS v FROM p
+          UNION ALL SELECT uid_b, uid_a FROM p),
+reach(uid, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.uid = e.v),
+labels AS (SELECT uid, min(lab) AS canonical_uid FROM reach GROUP BY uid),
+sizes AS (SELECT canonical_uid, count(*) AS n FROM labels
+          GROUP BY canonical_uid)
+SELECT l.uid, l.canonical_uid, CAST(s.n AS INTEGER) AS group_size
+FROM labels l JOIN sizes s USING (canonical_uid)"""
+
+
 SIMHASH_BITS = 16
 
 
@@ -988,6 +1008,47 @@ sessions AS (
 SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
   CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
 FROM sessions GROUP BY user_id, session_idx"""
+
+
+def ann_ivf_topk_sql(k: int = 10) -> str:
+    """IVF ANN oracle: K seed centroids (lowest vec_ids), L2 argmin
+    assignment (ties -> smaller centroid id), nprobe nearest lists for
+    the all-ones probe, exact cosine top-k on candidates. Expression
+    shapes mirror the Spark side exactly (dist2 = nrm2 - 2*dot + c2 with
+    left-fold sums) so the unrounded argmin/ordering compare equal."""
+    from .queries import IVF_K, IVF_NPROBE
+
+    return f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+  FROM embeddings),
+n AS (
+  SELECT vec_id, d,
+    list_aggregate(list_transform(d, x -> x * x), 'sum') AS nrm2
+  FROM e),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, d AS c,
+    list_aggregate(list_transform(d, x -> x * x), 'sum') AS c2
+  FROM e ORDER BY vec_id LIMIT {IVF_K}),
+assign AS (
+  SELECT n.vec_id, n.d, n.nrm2, c.cid,
+    n.nrm2 - 2 * list_dot_product(n.d, c.c) + c.c2 AS dist2
+  FROM n CROSS JOIN cent c),
+best AS (
+  SELECT vec_id, d, nrm2, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+  FROM assign),
+lists AS (SELECT vec_id, d, nrm2, cid AS list_id FROM best WHERE rn = 1),
+qprobe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER
+      (ORDER BY c2 - 2 * list_aggregate(c, 'sum'), cid) AS rn
+    FROM cent) r
+  WHERE rn <= {IVF_NPROBE})
+SELECT vec_id, CAST(list_id AS INTEGER) AS list_id,
+  round(list_aggregate(d, 'sum') / (sqrt(nrm2) * 8.0), 4) AS cos_sim
+FROM lists WHERE list_id IN (SELECT cid FROM qprobe)
+ORDER BY list_aggregate(d, 'sum') / (sqrt(nrm2) * 8.0) DESC, vec_id
+LIMIT {k}"""
 
 
 def ann_cosine_topk_sql(k: int = 10) -> str:

@@ -620,6 +620,68 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_groups_from(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup edges -> (uid, canonical_uid,
+    group_size): the group-resolution step a production dedup pipeline
+    runs AFTER pairwise candidates, so "keep one doc per cluster" is a
+    filter on uid == canonical_uid.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup clusters are shallow —
+    template families link through shared shingles; the general-graph
+    O(log n) alternative is large-star/small-star, same join shapes).
+    Each round is two narrow shuffles (edge join + min-agg) on uid keys;
+    `localCheckpoint` cuts the exponentially-growing lineage, and the
+    only driver-side action per round is a LIMIT-1 convergence probe.
+    Singletons (docs in no near-dup pair) are intentionally absent."""
+    edges = pairs.select(F.col("uid_a").alias("u"), F.col("uid_b").alias("v"))
+    edges = (
+        edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("uid"))
+        .distinct()
+        .withColumn("label", F.col("uid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels.withColumnRenamed("uid", "u"), "u"
+        ).select(F.col("v").alias("uid"), "label")
+        new = (
+            labels.union(msgs)
+            .groupBy("uid")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "uid")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label")
+    return labels.select(
+        "uid",
+        F.col("label").alias("canonical_uid"),
+        F.count("*").over(w).cast("int").alias("group_size"),
+    )
+
+
+def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs resolved to duplicate clusters."""
+    return neardup_groups_from(q_minhash_lsh_pairs(spark, sf_dir))
+
+
 SIMHASH_BITS = 16
 
 
@@ -915,6 +977,87 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 8
+IVF_NPROBE = 2
+
+
+def _ivf_centroids(emb: DataFrame) -> list[list[float]]:
+    """Deterministic coarse-quantizer seeds: the embeddings of the K
+    lowest vec_ids, as doubles. Production IVF would run k-means|| here;
+    the seeds keep the oracle expressible while the OPERATOR (assign ->
+    inverted lists -> probe -> exact rank) is the real scale shape.
+    Collecting K=8 rows driver-side is the standard IVF pattern — the
+    quantizer is a tiny dim table broadcast as literals."""
+    rows = emb.orderBy("vec_id").limit(IVF_K).collect()
+    return [[float(x) for x in r.embedding] for r in rows]
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the inverted-file scale path next to the LSH
+    variant, both against the `ann_cosine_topk` exact baseline): every
+    vector is assigned to its nearest of K=8 centroids by L2 (the
+    inverted lists — at scale this is the partition/cluster key the
+    table is laid out on), the all-ones probe vector probes its
+    nprobe=2 nearest lists, and exact cosine ranks the candidates.
+    The assignment is a narrow shuffle-free projection (argmin over K
+    literal centroid arrays via array_position/array_min, so each
+    distance expression is evaluated once); the probe filter prunes
+    ~(1 - nprobe/K) of the data before the exact distance runs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _ivf_centroids(emb)
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm2 = F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+    base = emb.select("vec_id", d.alias("d"), nrm2.alias("nrm2"))
+
+    def dist2(c: list[float]) -> F.Column:
+        c_col = F.array(*[F.lit(v) for v in c])
+        dot = F.aggregate(
+            F.zip_with(F.col("d"), c_col, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        c2 = 0.0
+        for v in c:  # left-fold, matching SQL list_aggregate 'sum'
+            c2 += v * v
+        return F.col("nrm2") - 2.0 * dot + F.lit(c2)
+
+    dists = F.array(*[dist2(c) for c in cents])
+    assigned = base.select(
+        "vec_id",
+        "d",
+        "nrm2",
+        # first minimal index == tie to the smallest centroid id
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("list_id"),
+    )
+    # probe ranking for the all-ones query q: |q|^2 is constant, so
+    # rank lists by |c|^2 - 2*q.c = |c|^2 - 2*sum(c), ties by centroid id
+    def _fsum(vals: list[float]) -> float:
+        acc = 0.0
+        for v in vals:
+            acc += v
+        return acc
+
+    ranked = sorted(
+        (_fsum([v * v for v in c]) - 2.0 * _fsum(c), i)
+        for i, c in enumerate(cents)
+    )
+    probe_ids = [i for _, i in ranked[:IVF_NPROBE]]
+    dot_q = F.aggregate(F.col("d"), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        assigned.filter(F.col("list_id").isin(probe_ids))
+        .select(
+            "vec_id",
+            "list_id",
+            (dot_q / (F.sqrt(F.col("nrm2")) * 8.0)).alias("cos_raw"),
+        )
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "list_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
 def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via the BUCKETED join (the scale path the
     brute-force `embedding_cosine_pairs` is the exact baseline for):
@@ -1131,10 +1274,12 @@ QUERIES = {
     "content_fingerprint": q_content_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "neardup_groups": q_neardup_groups,
     "simhash_groups": q_simhash_groups,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_knn_join": q_ann_knn_join,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
@@ -1178,10 +1323,12 @@ def oracle_queries() -> dict[str, str]:
         "content_fingerprint": o.content_fingerprint_sql(rep),
         "ngram_jaccard_pairs": o.ngram_jaccard_pairs_sql(DEDUP_REP),
         "minhash_lsh_pairs": o.minhash_lsh_pairs_sql(DEDUP_REP),
+        "neardup_groups": o.neardup_groups_sql(DEDUP_REP),
         "simhash_groups": o.simhash_groups_sql(DEDUP_REP),
         "simhash_pairs": o.simhash_pairs_sql(DEDUP_REP),
         "ann_cosine_topk": o.ann_cosine_topk_sql(10),
         "ann_lsh_topk": o.ann_lsh_topk_sql(10),
+        "ann_ivf_topk": o.ann_ivf_topk_sql(10),
         "ann_knn_join": o.ann_knn_join_sql(ANN_KNN_K),
         "embedding_cosine_pairs": o.embedding_cosine_pairs_sql(0.45),
         "embedding_lsh_pairs": o.embedding_lsh_pairs_sql(0.45),
