@@ -584,10 +584,14 @@ FROM transcripts GROUP BY md5(text) HAVING count(*) > 1"""
 
 
 def token_stats_sql(rep: int) -> str:
+    from .queries import BPE_TOKEN_PATTERN
+
     cte = transcripts_duckdb_cte("", rep=rep)
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
     return f"""WITH {cte}
 SELECT uid, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-  CAST(length(text) AS INTEGER) AS n_chars
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_bpe_tokens
 FROM transcripts"""
 
 

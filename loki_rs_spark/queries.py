@@ -370,12 +370,25 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer (GPT-2-style: contraction suffixes, space-prefixed
+# letter/digit/punct runs, whitespace runs), with the trailing-space
+# lookahead dropped so the pattern stays in the Java-regex ∩ RE2 dialect
+# the Spark and DuckDB renderings share (RE2 has no lookahead; both
+# engines match alternations leftmost-first in this mode).
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char count + BPE-ish regex token count
+    (the unit a token-budgeted training pipeline actually meters)."""
     df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
     return df.select(
         "uid",
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.length("text").alias("n_chars"),
+        F.regexp_count("text", F.lit(BPE_TOKEN_PATTERN))
+        .cast("int")
+        .alias("n_bpe_tokens"),
     )
 
 
