@@ -1034,13 +1034,23 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             c2 += v * v
         return F.col("nrm2") - 2.0 * dot + F.lit(c2)
 
+    # Stage the distance array through an alias that the next projection
+    # references TWICE (array_position + array_min): CollapseProject keeps
+    # multiply-referenced non-cheap aliases, so the projection evaluates
+    # the K aggregates once per surviving row instead of once per consumer
+    # (the round-3 `_c2g` expression-duplication lesson). The probe filter
+    # itself still gets substituted below the projections by
+    # PushDownPredicates (plan-shape pinned in tests/test_neardup_groups);
+    # at rest the assignment is a precomputed partition column and that
+    # filter becomes partition pruning.
     dists = F.array(*[dist2(c) for c in cents])
-    assigned = base.select(
+    staged = base.select("vec_id", "d", "nrm2", dists.alias("dists"))
+    assigned = staged.select(
         "vec_id",
         "d",
         "nrm2",
         # first minimal index == tie to the smallest centroid id
-        (F.array_position(dists, F.array_min(dists)) - 1)
+        (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
         .cast("int")
         .alias("list_id"),
     )

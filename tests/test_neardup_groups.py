@@ -72,6 +72,23 @@ def test_neardup_groups_cover_minhash_pairs(spark, sf_dir):
         assert canon <= uid
 
 
+def test_ann_ivf_plan_shape(spark):
+    """The staged-alias argmin keeps the K distance aggregates single-
+    evaluation in the projection: the top projection must reference the
+    materialized `dists` attribute (not re-expand the array), and total
+    aggregate instances stay at 24 (8 staged projection + 16 in the
+    pushed-down probe filter) — the unstaged form measured 32."""
+    from loki_rs_spark.queries import q_ann_ivf_topk
+
+    df = q_ann_ivf_topk(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"array_position\(dists#\d+, array_min\(dists#\d+\)",
+                     plan), "projection should consume the staged attribute"
+    assert plan.count("aggregate(zip_with") <= 24
+
+
 def test_ann_ivf_agrees_with_brute_force_on_probed_lists(spark):
     """IVF retrieval == brute-force ranking restricted to the probed
     lists, and every returned vector's list assignment is genuinely the
