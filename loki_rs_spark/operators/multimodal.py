@@ -97,6 +97,73 @@ def extract_features(
     )
 
 
+FRAME_SCHEMA = (
+    "media_id bigint, kind string, frame_idx int, frame_off int, "
+    "frame_len int, frame binary"
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_size: int = 32,
+    stride: int = 64,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Frame sampling over opaque media blobs: 1 blob row -> up to
+    `max_frames` frame rows, each a `frame_size`-byte slice taken every
+    `stride` bytes from offset 0 (the video frame-sample / image tile
+    analog; a real container demuxer would replace the byte slicing, the
+    Spark plumbing is identical). Runs as mapInPandas so each Arrow batch
+    of blobs explodes in one vectorized call and never round-trips the
+    full blob per frame through a join. The final frame truncates at the
+    blob end; a blob shorter than one stride still yields its (possibly
+    short) frame 0; an empty blob yields no rows.
+
+    At 100 TB scale this is a narrow map-side explode: output rows carry
+    only the sliced bytes (≤ frame_size each), not the parent blob, so
+    downstream shuffle volume is bounded by frames × frame_size rather
+    than blob size. Partitioning passes through from the media scan.
+    """
+    if frame_size <= 0 or stride <= 0 or max_frames <= 0:
+        raise ValueError("frame_size, stride, max_frames must be positive")
+
+    def slice_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            kinds: list = []
+            idxs: list = []
+            offs: list = []
+            lens: list = []
+            frames: list = []
+            for mid, kind, blob in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                n = len(blob)
+                for i in range(max_frames):
+                    off = i * stride
+                    if off >= n:
+                        break
+                    chunk = bytes(blob[off : off + frame_size])
+                    ids.append(mid)
+                    kinds.append(kind)
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(len(chunk))
+                    frames.append(chunk)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": pd.Series(kinds, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_off": pd.Series(offs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(slice_frames, FRAME_SCHEMA)
+
+
 def synthetic_media(spark, sf_dir: str, limit: int = 64) -> DataFrame:
     """Deterministic fake media table: blob = utf-8 bytes of document text
     (an opaque byte payload as far as the pipeline is concerned). Selected

@@ -982,6 +982,33 @@ def media_features_sql(limit: int = 64) -> str:
 SELECT media_id, kind, n_bytes, {feature} FROM m"""
 
 
+def media_frames_sql(
+    limit: int = 64,
+    frame_size: int = 32,
+    stride: int = 64,
+    max_frames: int = 4,
+) -> str:
+    """Independent SQL rendering of the frame sampler: lateral
+    generate_series over frame indices, substr slicing, sha256 digest.
+    documents.text is ASCII by construction (verified strlen == length),
+    so character-based substr slices the same bytes the Spark side slices
+    from the binary cast."""
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+    text
+  FROM documents WHERE doc_id < {limit})
+SELECT media_id, kind,
+  CAST(frame_idx AS INTEGER) AS frame_idx,
+  CAST(frame_idx * {stride} AS INTEGER) AS frame_off,
+  CAST(least({frame_size}, strlen(text) - frame_idx * {stride}) AS INTEGER)
+    AS frame_len,
+  sha256(substr(text, CAST(frame_idx * {stride} + 1 AS INTEGER),
+                {frame_size})) AS frame_sha
+FROM m, generate_series(0, {max_frames - 1}) AS gs(frame_idx)
+WHERE frame_idx * {stride} < strlen(text)"""
+
+
 def events_parsed_sql() -> str:
     return """SELECT event_id, user_id, event_type,
   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

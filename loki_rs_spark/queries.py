@@ -1187,6 +1187,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over media blobs (video frame-sample / image tile
+    analog): 1 blob row -> up to 4 frame rows via the real mapInPandas
+    explode, each frame a 32-byte slice taken every 64 bytes. The frame
+    bytes stay JVM-side after the slice; the verifiable digest is computed
+    with the built-in sha2 so the Python boundary emits bounded-size rows
+    and the hash runs in codegen."""
+    from .operators.multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, sf_dir, limit=64)
+    frames = sample_frames(media, frame_size=32, stride=64, max_frames=4)
+    return frames.select(
+        "media_id",
+        "kind",
+        "frame_idx",
+        "frame_off",
+        "frame_len",
+        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+    )
+
+
 def q_events_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The grok/JSON parse stage over the events stream table."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1308,6 +1329,7 @@ QUERIES = {
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "tool_type_counts": q_tool_type_counts,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
     "events_parsed": q_events_parsed,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -1357,6 +1379,7 @@ def oracle_queries() -> dict[str, str]:
         "embedding_lsh_pairs": o.embedding_lsh_pairs_sql(0.45),
         "tool_type_counts": o.tool_type_counts_sql(rep),
         "media_features": o.media_features_sql(64),
+        "media_frames": o.media_frames_sql(64),
         "events_parsed": o.events_parsed_sql(),
         "events_hourly": o.events_hourly_sql(),
         "events_sessions": o.events_sessions_sql(),
