@@ -164,6 +164,56 @@ def sample_frames(
     return media.mapInPandas(slice_frames, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id bigint, kind string, out_w int, out_h int, resized binary"
+)
+
+
+def resize_media(
+    media: DataFrame, src_w: int = 16, src_h: int = 16, factor: int = 2
+) -> DataFrame:
+    """2D block-average downsample (the image-resize analog): the blob is
+    interpreted as a row-major src_h x src_w grid of unsigned bytes
+    (padded with 0x20 / truncated to fit — a real decoder would supply the
+    grid), pooled `factor` x `factor` with integer floor-division, and
+    re-emitted as a (src_h/factor) x (src_w/factor) byte blob. Integer
+    arithmetic end to end, so the DuckDB oracle reproduces it bit-exactly.
+
+    Vectorized: one numpy reshape + strided adds per Arrow batch, no
+    per-pixel Python. Output rows shrink by factor^2, so this is a
+    map-side reducer of data volume — the shape you want upstream of a
+    shuffle at 100 TB.
+    """
+    if src_w % factor or src_h % factor:
+        raise ValueError("src dims must be divisible by factor")
+    npix = src_w * src_h
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list = []
+            for blob in pdf["content"]:
+                b = bytes(blob)[:npix].ljust(npix, b"\x20")
+                a = np.frombuffer(b, dtype=np.uint8).reshape(src_h, src_w)
+                a = a.astype(np.int32)
+                pooled = sum(
+                    a[r::factor, c::factor]
+                    for r in range(factor)
+                    for c in range(factor)
+                ) // (factor * factor)
+                out.append(pooled.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_w": np.int32(src_w // factor),
+                    "out_h": np.int32(src_h // factor),
+                    "resized": pd.Series(out, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(pool, RESIZE_SCHEMA)
+
+
 def synthetic_media(spark, sf_dir: str, limit: int = 64) -> DataFrame:
     """Deterministic fake media table: blob = utf-8 bytes of document text
     (an opaque byte payload as far as the pipeline is concerned). Selected

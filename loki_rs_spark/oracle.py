@@ -1009,6 +1009,37 @@ FROM m, generate_series(0, {max_frames - 1}) AS gs(frame_idx)
 WHERE frame_idx * {stride} < strlen(text)"""
 
 
+def media_resize_sql(
+    limit: int = 64, src_w: int = 16, src_h: int = 16, factor: int = 2
+) -> str:
+    """Independent SQL rendering of the block-average resize: the padded
+    text is indexed per output pixel with ord(substr(...)), the factor^2
+    block is floor-div averaged, and the resized blob is rebuilt with an
+    ordered string_agg(chr(v)) before hashing. Pooled values stay in the
+    ASCII range (inputs are printable ASCII + 0x20 pad), so chr() rebuilds
+    the exact bytes Spark's numpy path emits."""
+    npix = src_w * src_h
+    out_w, out_h = src_w // factor, src_h // factor
+    terms = " + ".join(
+        f"ord(substr(g, (r * {factor} + {dr}) * {src_w} + "
+        f"c * {factor} + {dc} + 1, 1))"
+        for dr in range(factor)
+        for dc in range(factor)
+    )
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+    rpad(substr(text, 1, {npix}), {npix}, ' ') AS g
+  FROM documents WHERE doc_id < {limit}),
+px AS (
+  SELECT media_id, kind, r, c, ({terms}) // {factor * factor} AS v
+  FROM m, generate_series(0, {out_h - 1}) AS gr(r),
+       generate_series(0, {out_w - 1}) AS gc(c))
+SELECT media_id, kind, {out_w} AS out_w, {out_h} AS out_h,
+  sha256(string_agg(chr(v), '' ORDER BY r, c)) AS resized_sha
+FROM px GROUP BY media_id, kind"""
+
+
 def events_parsed_sql() -> str:
     return """SELECT event_id, user_id, event_type,
   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

@@ -1208,6 +1208,24 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-average resize (image downsample analog): 16x16 byte grid ->
+    8x8 via 2x2 integer pooling in vectorized numpy inside mapInPandas.
+    Integer-exact, so the oracle rebuilds the resized blob from ord/chr
+    arithmetic and the sha256 digests must agree byte-for-byte."""
+    from .operators.multimodal import resize_media, synthetic_media
+
+    media = synthetic_media(spark, sf_dir, limit=64)
+    resized = resize_media(media, src_w=16, src_h=16, factor=2)
+    return resized.select(
+        "media_id",
+        "kind",
+        "out_w",
+        "out_h",
+        F.sha2(F.col("resized"), 256).alias("resized_sha"),
+    )
+
+
 def q_events_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The grok/JSON parse stage over the events stream table."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1330,6 +1348,7 @@ QUERIES = {
     "tool_type_counts": q_tool_type_counts,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
+    "media_resize": q_media_resize,
     "events_parsed": q_events_parsed,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -1380,6 +1399,7 @@ def oracle_queries() -> dict[str, str]:
         "tool_type_counts": o.tool_type_counts_sql(rep),
         "media_features": o.media_features_sql(64),
         "media_frames": o.media_frames_sql(64),
+        "media_resize": o.media_resize_sql(64),
         "events_parsed": o.events_parsed_sql(),
         "events_hourly": o.events_hourly_sql(),
         "events_sessions": o.events_sessions_sql(),

@@ -80,6 +80,48 @@ def test_invalid_params_raise(spark):
             sample_frames(df, **kw)
 
 
+def test_resize_matches_numpy_reference(spark):
+    import numpy as np
+
+    from loki_rs_spark.operators.multimodal import resize_media
+
+    blob = bytes((i * 7 + 13) % 95 + 32 for i in range(256))
+    out = resize_media(
+        _media_df(spark, [blob]), src_w=16, src_h=16, factor=2
+    ).collect()
+    assert len(out) == 1 and (out[0].out_w, out[0].out_h) == (8, 8)
+    a = np.frombuffer(blob, dtype=np.uint8).reshape(16, 16).astype(int)
+    want = (
+        (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) // 4
+    ).astype(np.uint8).tobytes()
+    assert bytes(out[0].resized) == want
+
+
+def test_resize_pads_and_truncates(spark):
+    from loki_rs_spark.operators.multimodal import resize_media
+
+    short, long = b"A" * 10, b"B" * 500
+    out = {
+        r.media_id: bytes(r.resized)
+        for r in resize_media(
+            _media_df(spark, [short, long]), src_w=16, src_h=16, factor=2
+        ).collect()
+    }
+    # short blob: rows beyond the padded 'A's pool to the 0x20 pad value
+    assert len(out[0]) == 64 and out[0][-1] == 0x20
+    # truncation: only the first 256 'B's participate, all pools = ord('B')
+    assert out[1] == bytes([ord("B")]) * 64
+
+
+def test_resize_rejects_indivisible_dims(spark):
+    import pytest
+
+    from loki_rs_spark.operators.multimodal import resize_media
+
+    with pytest.raises(ValueError):
+        resize_media(_media_df(spark, [b"x"]), src_w=15, src_h=16, factor=2)
+
+
 def test_frames_over_synthetic_media_digests(spark):
     """End-to-end over the parquet-backed synthetic media table: sha256 of
     each emitted frame equals sha256 of the corresponding blob slice."""
