@@ -240,6 +240,228 @@ def _scan_worker(master: str, sf_dir: str, rep: int) -> None:
     spark.stop()
 
 
+def _scan_server(master: str, sf_dir: str, rep: int) -> None:
+    """Interleaved-pair worker: same pipeline/warmup as _scan_worker, but
+    stays alive and runs one measured pass per "pass" line on stdin,
+    emitting one JSON line per pass. The parent alternates passes between
+    a local[2] and a local[8] server so both legs of each 2->8 ratio
+    sample the SAME host window — a hypervisor credit dip inflates both
+    elapsed times of a pair roughly equally and cancels in the ratio,
+    where the fresh-JVM-per-leg design (legs ~10 min apart, different
+    credit states) left the ratio carrying cross-window noise larger than
+    the 0.8 gate margin."""
+    from loki_rs_spark.plans.pipeline import scan_transcripts
+    from loki_rs_spark.queries import bundled_signatures
+    from loki_rs_spark.session import get_spark
+    from loki_rs_spark.sources.transcripts import materialized_transcripts
+
+    cores = int(master.split("[")[1].rstrip("]"))
+    spark = get_spark(
+        app_name=f"bench-pair-{master}", master=master,
+        shuffle_partitions=cores
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    transcripts = materialized_transcripts(spark, sf_dir, rep=rep)
+    result = scan_transcripts(spark, transcripts, bundled_signatures())
+    n_turns = result.scanned.count()
+    # 4 warm passes: measured single passes (no min-of-N inside a pair)
+    # need the JIT fully settled BEFORE the first pair — observed: with 2
+    # warm passes the first measured local[8] pass ran 1.5x steady-state
+    for _ in range(4):
+        _noop(result.routed)
+    print(json.dumps({"ready": True, "turns": n_turns}), flush=True)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "pass":
+            probe = _cpu_speed_mt(duration=0.5)
+            started = time.time()
+            _noop(result.routed)
+            elapsed = time.time() - started
+            print(
+                json.dumps(
+                    {
+                        "elapsed": elapsed,
+                        "probe_mbs": round(probe, 1),
+                        "probe_after_mbs": round(
+                            _cpu_speed_mt(duration=0.5), 1
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+        elif cmd == "quit":
+            break
+    spark.stop()
+
+
+class _PairServer:
+    """Parent-side handle on a --scan-server subprocess."""
+
+    def __init__(self, master: str):
+        self.master = master
+        env = dict(os.environ)
+        env["SPARK_GRAFT_MT_CANON"] = str(CANONICAL_CPU_MT_MBS)
+        self.proc = subprocess.Popen(
+            [sys.executable, __file__, "--scan-server", master, SF_DIR,
+             str(BENCH_REP)],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            bufsize=1,
+            cwd=str(REPO),
+            env=env,
+        )
+        self.turns = 0
+
+    def _read_json(self, timeout: float) -> dict:
+        """Read the next JSON line, bounded: a wedged JVM must fail the
+        paired path (the caller falls back to fresh-JVM legs), not hang
+        the whole bench."""
+        import threading
+
+        box: list = []
+
+        def reader():
+            while True:
+                line = self.proc.stdout.readline()
+                if not line:
+                    box.append(None)
+                    return
+                if line.startswith("{"):
+                    box.append(json.loads(line))
+                    return
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        t.join(timeout)
+        if not box or box[0] is None:
+            raise RuntimeError(
+                f"scan server {self.master} gave no JSON within {timeout}s"
+            )
+        return box[0]
+
+    def wait_ready(self, timeout: float = 900.0) -> None:
+        msg = self._read_json(timeout)
+        if not msg.get("ready"):
+            raise RuntimeError(f"scan server {self.master}: bad ready {msg}")
+        self.turns = msg["turns"]
+
+    def run_pass(self, timeout: float = 600.0) -> dict:
+        self.proc.stdin.write("pass\n")
+        self.proc.stdin.flush()
+        return self._read_json(timeout)
+
+    def close(self) -> None:
+        try:
+            if self.proc.poll() is None:
+                self.proc.stdin.write("quit\n")
+                self.proc.stdin.flush()
+                self.proc.wait(timeout=30)
+        except Exception:
+            pass
+        finally:
+            if self.proc.poll() is None:
+                self.proc.kill()
+
+
+def _paired_gate_legs(
+    n_pairs: int = 7, early_exit_eff: float = 0.82
+) -> tuple[dict, dict, float, list[dict]]:
+    """Measure the 2->8 gate legs as temporally interleaved pairs.
+
+    Returns (r2, r8, eff_2_8, pairs) shaped like _best_scan results.
+    Efficiency is the MEDIAN of per-pair efficiencies over QUALIFIED
+    pairs. Two hazards, two defenses:
+
+    * Whole-window slowdown: cancels inside each pair (both legs sample
+      the same window); pass order alternates 2-first / 8-first so drift
+      within a pair has no systematic direction either.
+    * Parallelism-DEPENDENT throttling: the hypervisor caps AGGREGATE
+      guest CPU when burst credits drain, which throttles the 8-thread
+      leg harder than the 2-thread leg (measured on a drained window:
+      t8 +27% vs canonical while t2 only +12%) — a bias no pairing can
+      cancel. So a pair only QUALIFIES for the median when every probe
+      around it (before each leg and after the pair) reads >= 0.75x the
+      canonical aggregate rate, i.e. the window could actually serve 8
+      cores. If no pair ever qualifies, fall back to the median over all
+      pairs (annotated by the per-pair detail in the output JSON).
+
+    Throughput numbers come from the best pass per leg, same as before."""
+    import statistics
+
+    s2 = _PairServer("local[2]")
+    s8 = _PairServer("local[8]")
+    try:
+        s2.wait_ready()
+        s8.wait_ready()
+        pairs: list[dict] = []
+
+        def qualified(ps: list[dict]) -> list[dict]:
+            return [p for p in ps if p["qualified"]]
+
+        for i in range(n_pairs):
+            # let burst credits recover from the previous pair; bounded,
+            # and the ratio survives even when the wait gives up
+            probe0, _w = _wait_credits(
+                0.8 * CANONICAL_CPU_MT_MBS, max_wait=120.0
+            )
+            if i % 2 == 0:
+                a = s2.run_pass()
+                b = s8.run_pass()
+            else:
+                b = s8.run_pass()
+                a = s2.run_pass()
+            probes = [
+                probe0,
+                a["probe_mbs"],
+                b["probe_mbs"],
+                a.get("probe_after_mbs", probe0),
+                b.get("probe_after_mbs", probe0),
+            ]
+            pairs.append(
+                {
+                    "t2": round(a["elapsed"], 2),
+                    "t8": round(b["elapsed"], 2),
+                    "eff": round((a["elapsed"] / b["elapsed"]) / 4, 3),
+                    "probe2_mbs": a["probe_mbs"],
+                    "probe8_mbs": b["probe_mbs"],
+                    "min_probe_mbs": round(min(probes), 1),
+                    "qualified": min(probes)
+                    >= 0.75 * CANONICAL_CPU_MT_MBS,
+                    "order": "2,8" if i % 2 == 0 else "8,2",
+                }
+            )
+            print(f"  pair {i + 1}: {pairs[-1]}", file=sys.stderr)
+            q = qualified(pairs)
+            if len(q) >= 3 and statistics.median(
+                p["eff"] for p in q
+            ) >= early_exit_eff:
+                break
+        q = qualified(pairs) or pairs
+        eff = statistics.median(p["eff"] for p in q)
+        best2 = min(p["t2"] for p in pairs)
+        best8 = min(p["t8"] for p in pairs)
+        r2 = {
+            "elapsed": best2,
+            "turns": s2.turns,
+            "all_runs": [p["t2"] for p in pairs],
+            "cpu_probe_mbs": None,
+            "cpu_probe_mt_mbs": max(p["probe2_mbs"] for p in pairs),
+        }
+        r8 = {
+            "elapsed": best8,
+            "turns": s8.turns,
+            "all_runs": [p["t8"] for p in pairs],
+            "cpu_probe_mbs": None,
+            "cpu_probe_mt_mbs": max(p["probe8_mbs"] for p in pairs),
+        }
+        return r2, r8, eff, pairs
+    finally:
+        s2.close()
+        s8.close()
+
+
 def _run_scan_subprocess(master: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_MT_CANON"] = str(CANONICAL_CPU_MT_MBS)
@@ -441,43 +663,57 @@ def main() -> None:
     # while local[2] measured on a full one. (0.85x proved unreachable
     # when the canonical recalibration catches a golden window — the
     # probe-parity retry below handles relative fairness beyond the bar.)
-    r2 = _best_scan("local[2]", attempts=1, min_fraction=0.7)
-    thr2 = r2["turns"] / r2["elapsed"]
-    r8 = _best_scan("local[8]", attempts=3,
-                    good_enough=4 * 0.82, baseline_thr=thr2,
-                    min_fraction=0.7)
-    # probe-parity fairness: the 2->8 ratio is only meaningful if both
-    # legs measured under comparable host health. Re-run the weaker-probed
-    # leg (either direction — a throttled local[2] flatters the ratio just
-    # as dishonestly as a throttled local[8] hurts it).
-    for _ in range(2):
-        p2 = r2.get("cpu_probe_mt_mbs") or 0.0
-        p8 = r8.get("cpu_probe_mt_mbs") or 0.0
-        if p8 < 0.9 * p2:
-            r8b = _best_scan("local[8]", attempts=1, min_fraction=0.7)
-            if r8b["elapsed"] < r8["elapsed"]:
-                r8 = r8b
+    # Gate legs (2 and 8) measure as temporally INTERLEAVED pairs in two
+    # live JVMs (see _scan_server): rounds 1-3 all measured the legs in
+    # fresh JVMs ~10 min apart, and the driver-recorded efficiency
+    # (0.701/0.797/0.737) tracked the credit-window DIFFERENCE between
+    # the two measurement windows, not the plan. Pairing makes the ratio
+    # window-invariant; the median over pairs drops any pair a credit
+    # cliff straddled. Fallback to fresh-JVM legs + probe-parity retries
+    # only if the paired path itself fails.
+    paired_eff: float | None = None
+    pairs_detail: list[dict] = []
+    try:
+        r2, r8, paired_eff, pairs_detail = _paired_gate_legs()
+        thr2 = r2["turns"] / r2["elapsed"]
+    except Exception as exc:  # noqa: BLE001 - any server failure -> legacy
+        print(f"  paired gate legs failed ({exc}); falling back to "
+              "fresh-JVM legs", file=sys.stderr)
+        r2 = _best_scan("local[2]", attempts=1, min_fraction=0.7)
+        thr2 = r2["turns"] / r2["elapsed"]
+        r8 = _best_scan("local[8]", attempts=3,
+                        good_enough=4 * 0.82, baseline_thr=thr2,
+                        min_fraction=0.7)
+        for _ in range(2):
+            p2 = r2.get("cpu_probe_mt_mbs") or 0.0
+            p8 = r8.get("cpu_probe_mt_mbs") or 0.0
+            if p8 < 0.9 * p2:
+                r8b = _best_scan("local[8]", attempts=1, min_fraction=0.7)
+                if r8b["elapsed"] < r8["elapsed"]:
+                    r8 = r8b
+                else:
+                    r8["cpu_probe_mt_mbs"] = max(
+                        p8, r8b.get("cpu_probe_mt_mbs") or 0.0
+                    )
+            elif p2 < 0.9 * p8:
+                r2b = _best_scan("local[2]", attempts=1, min_fraction=0.7)
+                if r2b["elapsed"] < r2["elapsed"]:
+                    r2 = r2b
+                else:
+                    r2["cpu_probe_mt_mbs"] = max(
+                        p2, r2b.get("cpu_probe_mt_mbs") or 0.0
+                    )
             else:
-                r8["cpu_probe_mt_mbs"] = max(
-                    p8, r8b.get("cpu_probe_mt_mbs") or 0.0
-                )
-        elif p2 < 0.9 * p8:
-            r2b = _best_scan("local[2]", attempts=1, min_fraction=0.7)
-            if r2b["elapsed"] < r2["elapsed"]:
-                r2 = r2b
-            else:
-                r2["cpu_probe_mt_mbs"] = max(
-                    p2, r2b.get("cpu_probe_mt_mbs") or 0.0
-                )
-        else:
-            break
+                break
     r32 = _best_scan(f"local[{CPUS}]", attempts=2,
                      good_enough=(CPUS / 2) * 0.55, baseline_thr=thr2)
 
     thr2 = r2["turns"] / r2["elapsed"]
     thr8 = r8["turns"] / r8["elapsed"]
     thr32 = r32["turns"] / r32["elapsed"]
-    eff_2_8 = (thr8 / thr2) / 4
+    # median of window-paired ratios when available (the robust
+    # estimator); ratio of best passes only on the legacy fallback path
+    eff_2_8 = paired_eff if paired_eff is not None else (thr8 / thr2) / 4
     eff_8_32 = (thr32 / thr8) / (CPUS / 8)
 
     from loki_rs_spark.session import get_spark
@@ -505,6 +741,10 @@ def main() -> None:
         # bridge saturation point; 8->32 shares one bus and one loopback.
         "scaling_efficiency_2_to_8": round(eff_2_8, 3),
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+        # per-pair detail for the interleaved 2<->8 measurement (empty on
+        # the legacy fallback path): each pair samples both parallelism
+        # levels in the same host window
+        "scaling_pairs_2_8": pairs_detail,
         # host-health context: single-thread sha256 MB/s measured right
         # before each level's best attempt. The sandbox host is
         # time-shared; values well under canonical mean the throughput
@@ -537,5 +777,7 @@ if __name__ == "__main__":
         spark.stop()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scan-worker":
         _scan_worker(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scan-server":
+        _scan_server(sys.argv[2], sys.argv[3], int(sys.argv[4]))
     else:
         main()

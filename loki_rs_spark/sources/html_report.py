@@ -50,6 +50,15 @@ th, td {{ border: 1px solid #999; padding: 4px 10px; text-align: left; }}
 <th>Total</th></tr>
 {host_rows}
 </table>
+<h2>Score distribution</h2>
+<table><tr><th>Score band</th><th>Count</th></tr>
+{score_band_rows}
+</table>
+<h2>Reason breakdown</h2>
+<table><tr><th>Category</th><th>Reasons</th><th>Distinct indicators</th>
+<th>Max sub-score</th></tr>
+{reason_rows}
+</table>
 <h2>Top findings (score descending)</h2>
 <table><tr><th>Score</th><th>Level</th><th>Host</th><th>Target</th>
 <th>Message</th></tr>
@@ -57,6 +66,71 @@ th, td {{ border: 1px solid #999; padding: 4px 10px; text-align: left; }}
 </table>
 </body></html>
 """
+
+# severity-threshold-aligned bands (ScanConfig 80/60/40)
+SCORE_BANDS = ("80+", "60-79", "40-59", "<40")
+
+
+def score_band_aggregates(findings) -> dict[str, int]:
+    """Severity-threshold-aligned score histogram — one groupBy, at most
+    four rows collected regardless of input size."""
+    band = (
+        F.when(F.col("score") >= 80, F.lit("80+"))
+        .when(F.col("score") >= 60, F.lit("60-79"))
+        .when(F.col("score") >= 40, F.lit("40-59"))
+        .otherwise(F.lit("<40"))
+    )
+    return {
+        r["band"]: r["n"]
+        for r in findings.groupBy(band.alias("band"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def reason_breakdown_aggregates(findings):
+    """Per-category reason stats (the reference report's per-rule/per-IOC
+    statistics surface, html_report.rs aggregation layer): explode the
+    reason arrays, classify by the reference's fixed message prefixes,
+    aggregate count / distinct indicators / max sub-score. Bounded output
+    (<=5 category rows); the explode+groupBy runs distributed."""
+    if "reasons" not in findings.columns:
+        return []
+    from pyspark.sql.types import StructType
+
+    exploded = findings.select(F.explode("reasons").alias("r"))
+    rtype = exploded.schema["r"].dataType
+    if not isinstance(rtype, StructType) or "message" not in rtype.names:
+        return []
+    fields = set(rtype.names)
+    sub_score = (
+        F.col("r.score") if "score" in fields else F.lit(None).cast("int")
+    )
+    r = exploded.select(
+        F.col("r.message").alias("message"),
+        sub_score.alias("sub_score"),
+    )
+    category = (
+        F.when(F.col("message").startswith("YARA match"), F.lit("YARA rule"))
+        .when(F.col("message").startswith("File Name IOC"), F.lit("Filename IOC"))
+        .when(F.col("message").startswith("C2 IOC"), F.lit("C2 IOC"))
+        .when(
+            F.col("message").startswith("HASH match")
+            | F.col("message").startswith("Process Executable Hash"),
+            F.lit("Hash IOC"),
+        )
+        .otherwise(F.lit("Other"))
+    )
+    return (
+        r.groupBy(category.alias("category"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("message").alias("distinct_indicators"),
+            F.max("sub_score").alias("max_sub_score"),
+        )
+        .orderBy(F.col("n").desc(), "category")
+        .collect()
+    )
 
 
 def render_html_report(
@@ -92,6 +166,22 @@ def render_html_report(
         for r in hosts.collect()
     )
 
+    bands = score_band_aggregates(findings)
+    score_band_rows = "\n".join(
+        f"<tr><td>{html.escape(b)}</td><td>{bands.get(b, 0)}</td></tr>"
+        for b in SCORE_BANDS
+    )
+
+    reason_rows = "\n".join(
+        "<tr><td>{c}</td><td>{n}</td><td>{d}</td><td>{m}</td></tr>".format(
+            c=html.escape(r["category"]),
+            n=r["n"],
+            d=r["distinct_indicators"],
+            m=r["max_sub_score"] if r["max_sub_score"] is not None else "",
+        )
+        for r in reason_breakdown_aggregates(findings)
+    ) or '<tr><td colspan="4">no reason detail in stream</td></tr>'
+
     # score-descending, the reference's ordering (html_report.rs:393-397);
     # orderBy+limit compiles to TakeOrderedAndProject — no full sort, no
     # full collect
@@ -117,6 +207,8 @@ def render_html_report(
     return _PAGE.format(
         severity_rows=severity_rows,
         host_rows=host_rows,
+        score_band_rows=score_band_rows,
+        reason_rows=reason_rows,
         finding_rows=finding_rows,
     )
 

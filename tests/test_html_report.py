@@ -13,18 +13,21 @@ from loki_rs_spark.sources.html_report import (
 )
 
 
-def _event(hostname, level, score, target, message="Turn Match"):
-    return json.dumps(
-        {
-            "timestamp": "2026-01-05T10:11:12+00:00",
-            "level": level,
-            "event_type": "turn_match",
-            "hostname": hostname,
-            "message": message,
-            "file_path": target,
-            "score": float(score),
-        }
-    )
+def _event(hostname, level, score, target, message="Turn Match", reasons=None):
+    ev = {
+        "timestamp": "2026-01-05T10:11:12+00:00",
+        "level": level,
+        "event_type": "turn_match",
+        "hostname": hostname,
+        "message": message,
+        "file_path": target,
+        "score": float(score),
+    }
+    if reasons is not None:
+        ev["reasons"] = [
+            {"message": m, "score": s, "description": "d"} for m, s in reasons
+        ]
+    return json.dumps(ev)
 
 
 def _write_fixture(tmp_path):
@@ -32,8 +35,23 @@ def _write_fixture(tmp_path):
     host_a.write_text(
         "\n".join(
             [
-                _event("host-a", "ALERT", 95, "/tmp/mimikatz.exe"),
-                _event("host-a", "WARNING", 70, "/tmp/nc.exe"),
+                _event(
+                    "host-a",
+                    "ALERT",
+                    95,
+                    "/tmp/mimikatz.exe",
+                    reasons=[
+                        ("YARA match with rule Mimi_1", 80),
+                        ("HASH match with IOC HASH: abc", 100),
+                    ],
+                ),
+                _event(
+                    "host-a",
+                    "WARNING",
+                    70,
+                    "/tmp/nc.exe",
+                    reasons=[("YARA match with rule NC_Tool", 60)],
+                ),
                 _event("host-a", "NOTICE", 45, "<script>alert(1)</script>"),
                 json.dumps(
                     {
@@ -83,6 +101,31 @@ def test_html_report_structure(spark, tmp_path):
     # injected HTML is escaped, never raw
     assert "<script>" not in out
     assert "&lt;script&gt;" in out
+
+    # score bands aligned with the 80/60/40 severity thresholds:
+    # 99,95,88 -> 80+; 70 -> 60-79; 45 -> 40-59
+    assert "<tr><td>80+</td><td>3</td></tr>" in out
+    assert "<tr><td>60-79</td><td>1</td></tr>" in out
+    assert "<tr><td>40-59</td><td>1</td></tr>" in out
+    assert "<tr><td>&lt;40</td><td>0</td></tr>" in out or (
+        "<tr><td><40</td><td>0</td></tr>" in out
+    )
+
+    # reason breakdown: 2 YARA reasons (2 distinct rules, max 80),
+    # 1 hash reason (max 100); ordered by count desc
+    assert "<tr><td>YARA rule</td><td>2</td><td>2</td><td>80</td></tr>" in out
+    assert "<tr><td>Hash IOC</td><td>1</td><td>1</td><td>100</td></tr>" in out
+    assert out.index("YARA rule</td>") < out.index("Hash IOC</td>")
+
+
+def test_html_report_without_reasons_column(spark, tmp_path):
+    """Streams written without reason detail (schema-on-read: the column
+    simply doesn't exist) still render, with a placeholder row."""
+    p = tmp_path / "plain.jsonl"
+    p.write_text(_event("host-x", "ALERT", 90, "/tmp/x"))
+    out = render_html_report(spark, [str(p)], top_n=5)
+    assert "no reason detail in stream" in out
+    assert "<tr><td>80+</td><td>1</td></tr>" in out
 
 
 def test_html_report_top_n_and_write(spark, tmp_path):
