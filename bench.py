@@ -438,7 +438,56 @@ def _paired_gate_legs(
                 p["eff"] for p in q
             ) >= early_exit_eff:
                 break
-        q = qualified(pairs) or pairs
+
+        def run_pair(i: int) -> None:
+            probe0, _w = _wait_credits(
+                0.85 * CANONICAL_CPU_MT_MBS, max_wait=240.0
+            )
+            if i % 2 == 0:
+                a = s2.run_pass()
+                b = s8.run_pass()
+            else:
+                b = s8.run_pass()
+                a = s2.run_pass()
+            probes = [
+                probe0,
+                a["probe_mbs"],
+                b["probe_mbs"],
+                a.get("probe_after_mbs", probe0),
+                b.get("probe_after_mbs", probe0),
+            ]
+            pairs.append(
+                {
+                    "t2": round(a["elapsed"], 2),
+                    "t8": round(b["elapsed"], 2),
+                    "eff": round((a["elapsed"] / b["elapsed"]) / 4, 3),
+                    "probe2_mbs": a["probe_mbs"],
+                    "probe8_mbs": b["probe_mbs"],
+                    "min_probe_mbs": round(min(probes), 1),
+                    "qualified": min(probes)
+                    >= 0.75 * CANONICAL_CPU_MT_MBS,
+                    "order": "2,8" if i % 2 == 0 else "8,2",
+                }
+            )
+            print(f"  pair {len(pairs)} (extra): {pairs[-1]}",
+                  file=sys.stderr)
+
+        # a drained tank biases every pair downward (aggregate throttle
+        # hits 8 threads harder than 2) — if NOTHING qualified, the right
+        # move is more idle-waiting, not averaging biased samples: up to 3
+        # extra pairs behind longer credit waits
+        extra = 0
+        while not qualified(pairs) and extra < 3:
+            run_pair(len(pairs))
+            extra += 1
+        q = qualified(pairs)
+        if not q:
+            # still nothing: the least-biased available estimate is the
+            # best-probed half of the pairs (detail JSON shows the rest)
+            by_probe = sorted(
+                pairs, key=lambda p: p["min_probe_mbs"], reverse=True
+            )
+            q = by_probe[: (len(by_probe) + 1) // 2]
         eff = statistics.median(p["eff"] for p in q)
         best2 = min(p["t2"] for p in pairs)
         best8 = min(p["t8"] for p in pairs)
