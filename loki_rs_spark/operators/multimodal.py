@@ -161,7 +161,10 @@ def sample_frames(
                 }
             )
 
-    return media.mapInPandas(slice_frames, FRAME_SCHEMA)
+    # prune to the consumed columns so only they cross the Arrow boundary
+    return media.select("media_id", "kind", "content").mapInPandas(
+        slice_frames, FRAME_SCHEMA
+    )
 
 
 RESIZE_SCHEMA = (
@@ -211,7 +214,9 @@ def resize_media(
                 }
             )
 
-    return media.mapInPandas(pool, RESIZE_SCHEMA)
+    return media.select("media_id", "kind", "content").mapInPandas(
+        pool, RESIZE_SCHEMA
+    )
 
 
 def synthetic_media(spark, sf_dir: str, limit: int = 64) -> DataFrame:
