@@ -990,13 +990,16 @@ def media_frames_sql(
 ) -> str:
     """Independent SQL rendering of the frame sampler: lateral
     generate_series over frame indices, substr slicing, sha256 digest.
-    documents.text is ASCII by construction (verified strlen == length),
-    so character-based substr slices the same bytes the Spark side slices
-    from the binary cast."""
+    This oracle is only byte-faithful for ASCII text (character-based
+    substr vs Spark's byte slicing), so the assumption is ENFORCED in the
+    SQL: any document where character length != byte length (strlen) raises via error()
+    instead of silently diverging from the Spark side."""
     return f"""WITH m AS (
   SELECT doc_id AS media_id,
     CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-    text
+    CASE WHEN length(text) = strlen(text) THEN text
+         ELSE error('media_frames oracle requires ASCII documents: doc_id '
+                    || doc_id) END AS text
   FROM documents WHERE doc_id < {limit})
 SELECT media_id, kind,
   CAST(frame_idx AS INTEGER) AS frame_idx,
@@ -1017,7 +1020,9 @@ def media_resize_sql(
     block is floor-div averaged, and the resized blob is rebuilt with an
     ordered string_agg(chr(v)) before hashing. Pooled values stay in the
     ASCII range (inputs are printable ASCII + 0x20 pad), so chr() rebuilds
-    the exact bytes Spark's numpy path emits."""
+    the exact bytes Spark's numpy path emits. The ASCII assumption is
+    ENFORCED below (error() on character length != strlen byte length) so a non-ASCII
+    fixture fails loudly instead of producing a mismatched digest."""
     npix = src_w * src_h
     out_w, out_h = src_w // factor, src_h // factor
     terms = " + ".join(
@@ -1029,7 +1034,10 @@ def media_resize_sql(
     return f"""WITH m AS (
   SELECT doc_id AS media_id,
     CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-    rpad(substr(text, 1, {npix}), {npix}, ' ') AS g
+    rpad(substr(CASE WHEN length(text) = strlen(text) THEN text
+                     ELSE error('media_resize oracle requires ASCII '
+                                || 'documents: doc_id ' || doc_id) END,
+                1, {npix}), {npix}, ' ') AS g
   FROM documents WHERE doc_id < {limit}),
 px AS (
   SELECT media_id, kind, r, c, ({terms}) // {factor * factor} AS v

@@ -643,11 +643,17 @@ def neardup_groups_from(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     min of its own label and its neighbors' labels; converges in
     O(component diameter) rounds (near-dup clusters are shallow —
     template families link through shared shingles; the general-graph
-    O(log n) alternative is large-star/small-star, same join shapes).
+    O(log n) alternative is `neardup_groups_bigstar_from` below).
     Each round is two narrow shuffles (edge join + min-agg) on uid keys;
     `localCheckpoint` cuts the exponentially-growing lineage, and the
     only driver-side action per round is a LIMIT-1 convergence probe.
-    Singletons (docs in no near-dup pair) are intentionally absent."""
+    Singletons (docs in no near-dup pair) are intentionally absent.
+
+    Raises RuntimeError if `max_iters` rounds exhaust before convergence
+    (a component with diameter > max_iters): partial labels would split
+    components silently, and at scale a pathological chain is exactly
+    when the loud failure matters. Callers with deep components should
+    use `neardup_groups_bigstar_from` (O(log n) rounds)."""
     edges = pairs.select(F.col("uid_a").alias("u"), F.col("uid_b").alias("v"))
     edges = (
         edges.union(
@@ -660,6 +666,7 @@ def neardup_groups_from(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("uid"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         msgs = edges.join(
             labels.withColumnRenamed("uid", "u"), "u"
@@ -679,7 +686,15 @@ def neardup_groups_from(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"neardup_groups_from: label propagation did not converge in "
+            f"{max_iters} rounds (a component has diameter > {max_iters}); "
+            "returning partial labels would split components — use "
+            "neardup_groups_bigstar_from (O(log n) rounds) for deep graphs"
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("label")
@@ -693,6 +708,106 @@ def neardup_groups_from(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs resolved to duplicate clusters."""
     return neardup_groups_from(q_minhash_lsh_pairs(spark, sf_dir))
+
+
+def neardup_groups_bigstar_from(
+    pairs: DataFrame, max_iters: int = 30
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the O(log n)-round path for graphs whose component diameter exceeds
+    what min-label propagation should be asked to walk. Same output
+    contract as `neardup_groups_from`: (uid, canonical_uid=component min,
+    group_size), singletons absent.
+
+    Per round: large-star attaches every strictly-larger neighbor of u to
+    min(Γ(u) ∪ {u}); small-star re-attaches the smaller neighbors. Both
+    are a groupBy-min plus a join back on the grouping key — two narrow
+    shuffles each, no per-node neighbor arrays (a collect_list rendering
+    would concentrate a hub component's whole edge list in one task).
+    Lineage is cut per round with localCheckpoint; convergence is an
+    exact exceptAll probe (edge sets are stars near the end, so the probe
+    input stays proportional to the vertex count, not the raw pair
+    count). A 2^30-diameter chain converges in ~30 rounds, hence the
+    default; exhaustion still raises rather than returning split labels.
+    """
+    edges = (
+        pairs.select(F.col("uid_a").alias("u"), F.col("uid_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iters):
+        # large-star: group the symmetrized edge list by u, attach each
+        # neighbor v > u to min(Γ(u) ∪ {u})
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("mn"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges big->small, attach the big node and
+        # all its smaller neighbors to the minimum of that neighborhood
+        d = (
+            ls.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+        )
+        mins2 = d.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = d.join(mins2, "u")
+        ss = (
+            joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(joined.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = ss.exceptAll(edges).limit(1).count()
+        edges = ss
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            "neardup_groups_bigstar_from: large-star/small-star did not "
+            f"converge in {max_iters} rounds — returning partial labels "
+            "would split components"
+        )
+    # converged edge set is a forest of rooted stars (child -> component
+    # min); add the roots' self-labels and count per component
+    labels = edges.select(
+        F.col("u").alias("uid"), F.col("v").alias("canonical_uid")
+    )
+    roots = labels.select(F.col("canonical_uid").alias("uid")).distinct()
+    labels = labels.union(
+        roots.select("uid", F.col("uid").alias("canonical_uid"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canonical_uid")
+    return labels.select(
+        "uid",
+        "canonical_uid",
+        F.count("*").over(w).cast("int").alias("group_size"),
+    )
+
+
+def q_neardup_groups_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup clusters resolved with the large-star/
+    small-star path — must agree exactly with `neardup_groups` (same
+    oracle SQL)."""
+    return neardup_groups_bigstar_from(q_minhash_lsh_pairs(spark, sf_dir))
 
 
 SIMHASH_BITS = 16
@@ -1337,6 +1452,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "neardup_groups": q_neardup_groups,
+    "neardup_groups_ls": q_neardup_groups_ls,
     "simhash_groups": q_simhash_groups,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1388,6 +1504,8 @@ def oracle_queries() -> dict[str, str]:
         "ngram_jaccard_pairs": o.ngram_jaccard_pairs_sql(DEDUP_REP),
         "minhash_lsh_pairs": o.minhash_lsh_pairs_sql(DEDUP_REP),
         "neardup_groups": o.neardup_groups_sql(DEDUP_REP),
+        # large-star/small-star must agree exactly with label propagation
+        "neardup_groups_ls": o.neardup_groups_sql(DEDUP_REP),
         "simhash_groups": o.simhash_groups_sql(DEDUP_REP),
         "simhash_pairs": o.simhash_pairs_sql(DEDUP_REP),
         "ann_cosine_topk": o.ann_cosine_topk_sql(10),

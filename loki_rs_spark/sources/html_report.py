@@ -96,12 +96,19 @@ def reason_breakdown_aggregates(findings):
     (<=5 category rows); the explode+groupBy runs distributed."""
     if "reasons" not in findings.columns:
         return []
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import ArrayType, StructType
 
-    exploded = findings.select(F.explode("reasons").alias("r"))
-    rtype = exploded.schema["r"].dataType
+    # Guard on the INPUT schema before building the explode: under
+    # schema-on-read an all-null (or scalar) `reasons` column infers as
+    # StringType, and F.explode over it raises AnalysisException the
+    # moment the plan is analyzed — the guard must run first.
+    ctype = findings.schema["reasons"].dataType
+    if not isinstance(ctype, ArrayType):
+        return []
+    rtype = ctype.elementType
     if not isinstance(rtype, StructType) or "message" not in rtype.names:
         return []
+    exploded = findings.select(F.explode("reasons").alias("r"))
     fields = set(rtype.names)
     sub_score = (
         F.col("r.score") if "score" in fields else F.lit(None).cast("int")

@@ -128,6 +128,34 @@ def test_html_report_without_reasons_column(spark, tmp_path):
     assert "<tr><td>80+</td><td>1</td></tr>" in out
 
 
+def test_html_report_null_reasons_column(spark, tmp_path):
+    """A stream where `reasons` is present but always null infers as
+    StringType under schema-on-read; the breakdown must degrade to the
+    placeholder instead of raising AnalysisException from the explode."""
+    import json
+
+    p = tmp_path / "nullreasons.jsonl"
+    rec = json.loads(_event("host-n", "ALERT", 85, "/tmp/n"))
+    rec["reasons"] = None
+    p.write_text(json.dumps(rec) + "\n")
+    out = render_html_report(spark, [str(p)], top_n=5)
+    assert "no reason detail in stream" in out
+    assert "<tr><td>80+</td><td>1</td></tr>" in out
+
+
+def test_html_report_scalar_reasons_column(spark, tmp_path):
+    """Scalar (string) `reasons` — e.g. a foreign producer writing a
+    joined string — must also hit the guard, not the explode."""
+    import json
+
+    p = tmp_path / "scalarreasons.jsonl"
+    rec = json.loads(_event("host-s", "WARNING", 62, "/tmp/s"))
+    rec["reasons"] = "YARA match on rule X"
+    p.write_text(json.dumps(rec) + "\n")
+    out = render_html_report(spark, [str(p)], top_n=5)
+    assert "no reason detail in stream" in out
+
+
 def test_html_report_top_n_and_write(spark, tmp_path):
     paths = _write_fixture(tmp_path)
     out_file = tmp_path / "report.html"

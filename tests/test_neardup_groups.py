@@ -50,6 +50,62 @@ def test_star_converges_in_one_round(spark):
     assert all(v == (100, 6) for v in got.values())
 
 
+def _bigstar_groups(spark, pairs, **kw):
+    from loki_rs_spark.queries import neardup_groups_bigstar_from
+
+    df = spark.createDataFrame(pairs, "uid_a long, uid_b long")
+    rows = neardup_groups_bigstar_from(df, **kw).collect()
+    return {r.uid: (r.canonical_uid, r.group_size) for r in rows}
+
+
+def test_label_prop_raises_on_deep_chain(spark):
+    """A chain with diameter > max_iters must fail LOUDLY — silently
+    returning partial labels would split the component."""
+    from loki_rs_spark.queries import neardup_groups_from
+
+    chain = [(i, i + 1) for i in range(8)]  # diameter 8 > max_iters 4
+    df = spark.createDataFrame(chain, "uid_a long, uid_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_groups_from(df, max_iters=4).collect()
+
+
+def test_bigstar_matches_label_prop_on_small_graphs(spark):
+    for pairs in (
+        [(1, 2), (2, 3), (3, 4)],
+        [(20, 10), (10, 30), (5, 6)],
+        [(7, 8), (7, 8), (8, 7)],
+        [(100, i) for i in range(101, 106)],
+    ):
+        assert _bigstar_groups(spark, pairs) == _groups(spark, pairs)
+
+
+def test_bigstar_resolves_deep_chain_in_log_rounds(spark):
+    """Diameter-40 chain: label propagation would need 40 rounds; the
+    large-star/small-star path must finish well inside O(log n)."""
+    chain = [(i, i + 1) for i in range(40)]
+    got = _bigstar_groups(spark, chain, max_iters=12)
+    assert set(got) == set(range(41))
+    assert all(v == (0, 41) for v in got.values())
+
+
+def test_bigstar_raises_on_exhaustion(spark):
+    chain = [(i, i + 1) for i in range(40)]
+    from loki_rs_spark.queries import neardup_groups_bigstar_from
+
+    df = spark.createDataFrame(chain, "uid_a long, uid_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_groups_bigstar_from(df, max_iters=1).collect()
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL])
+def test_bigstar_agrees_with_label_prop_on_fixture(spark, sf_dir):
+    from loki_rs_spark.queries import q_neardup_groups, q_neardup_groups_ls
+
+    a = sorted(map(tuple, q_neardup_groups(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_neardup_groups_ls(spark, sf_dir).collect()))
+    assert a == b and a
+
+
 @pytest.mark.parametrize("sf_dir", [SF_SMALL])
 def test_neardup_groups_cover_minhash_pairs(spark, sf_dir):
     """Every uid in a minhash pair lands in a group; pair endpoints share
