@@ -1,17 +1,24 @@
 #!/usr/bin/env python
 """Benchmark harness.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (kept ~1 KB so the driver's stdout tail
+capture always parses it — round 4's inline pair detail overflowed it):
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>,
    "turns": N, "turns_per_sec_local8": ..., "turns_per_sec_local32": ...,
-   "scaling_efficiency_8_to_32": ...}
+   "scaling_efficiency_2_to_8": ..., "scaling_efficiency_8_to_32": ...,
+   "gate": {...pair-measurement summary...}}
+Full per-pair/per-probe detail goes to BENCH/scaling_pairs.json and a
+"DETAIL {...}" stderr line.
 
-The scan throughput is measured in a FRESH JVM per parallelism level
-(local[8] vs local[32] on identical input) — the sandbox proxy for the
-north rule's N-vs-4N-executor scaling criterion. Per-query timings run
-in-process at local[$SPARK_GRAFT_CPUS]. All sinks are `noop` writes so
-the full pipeline materializes without driver collection.
+The 2->8 scaling gate (the sandbox proxy for the north rule's N-vs-4N-
+executor criterion) measures FIRST, before anything else drains the
+host's burst credits, as interleaved local[2]/local[8] pairs in two live
+JVMs with in-window parity qualification and fixed per-pass latency
+cancelled (see _paired_gate_legs). local[32] throughput then runs in a
+fresh JVM on the full-rep table. Per-query timings run in-process at
+local[$SPARK_GRAFT_CPUS]. All sinks are `noop` writes so the full
+pipeline materializes without driver collection.
 """
 
 from __future__ import annotations
@@ -39,6 +46,29 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # per-query latency under ~8%% of the gate legs while the local[8] pass
 # still fits a burst window.
 BENCH_REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "1600"))
+# The 2->8 gate legs use a MUCH smaller rep: the gate is a ratio on
+# identical input, so what matters is that each individual leg run fits
+# inside the host throttle's SHORT-BURST allowance (measured: a drained
+# bucket still serves ~0.5s 8-thread probes at full rate, while a
+# rep-800 8-leg (~65 core-seconds) gets clamped mid-run and crawled
+# 53-170s during a throttled phase; at rep 200 the 8-leg work margin
+# (~1.6s) was noise-dominated and per-pair efficiencies swung 0.15-1.7).
+# Rep 320 is the compromise: an 8-leg run is ~4s (~30 core-seconds) —
+# short enough to execute at full parity on mediocre windows, which the
+# per-run during-probes then CONFIRM rather than assume — with a work
+# margin comfortably above scheduling noise. The fixed per-pass latency
+# that made small reps biased is CANCELLED by timing an identical
+# tiny-rep pass next to each gate pass (marginal throughput; see
+# _paired_gate_legs).
+GATE_REP = int(os.environ.get("SPARK_GRAFT_GATE_REP", "320"))
+# tiny pass through the IDENTICAL pipeline/table layout (same 64-file
+# scan task count, same broadcasts, same python daemon round-trips):
+# its elapsed time IS the fixed per-pass cost for that leg in that
+# window, and subtracting it turns the pair ratio into a ratio of
+# marginal (per-turn) throughputs — the quantity the north rule's
+# cluster-scaling criterion describes (driver setup does not grow with
+# data and amortizes to zero at 100 TB).
+GATE_REP_SMALL = int(os.environ.get("SPARK_GRAFT_GATE_REP_SMALL", "25"))
 
 
 def _noop(df) -> None:
@@ -167,6 +197,123 @@ def _wait_for_idle(
                                    - (time.time() - started))
 
 
+# ---- in-window pair qualification ----------------------------------------
+#
+# Rounds 1-4 qualified gate pairs on probes taken AROUND the legs against
+# an ABSOLUTE canonical floor. Round 5's drain experiment (deliberate 90s
+# 32-core burn, then server passes with a concurrent prober) showed both
+# halves of that design were wrong on this host:
+#   * The throttle is a token bucket with a small short-burst allowance:
+#     a 0.5s idle probe taken ONE SECOND after the drain still read
+#     10.5 GB/s (0.94 parity) while the very next 8-core scan pass ran
+#     51.4s vs the healthy 2.9s. Probes around the legs are blind to the
+#     state that actually bites mid-pass.
+#   * The absolute canonical floor rejects uniformly-slow windows, which
+#     are ratio-FAIR (both legs slow equally); that is how the round-4
+#     driver run ended with 0 of 10 pairs qualified.
+# What does separate throttled from healthy passes is the aggregate rate
+# measured DURING the pass by a concurrent low-duty prober: healthy
+# passes showed during-rates of 9.5-10.8 GB/s (0.85-0.96 parity vs
+# 8 x the single-thread rate), the post-drain crawl showed 1.5-3 GB/s.
+# So: a background prober samples the 8-thread aggregate rate through
+# all leg runs, each RUN is judged by the MEAN of its during-samples
+# against PAIR_PARITY x (8 x the best single-thread rate probed around
+# the pair), and the parity anchor self-normalizes (a uniformly slow
+# host lowers the anchor and the during-readings together, keeping fair
+# windows qualified). Legs run twice per pair and take the min over
+# their clean runs, so a dip that lands inside one run is excluded
+# rather than averaged in.
+PAIR_PARITY = 0.72
+PAIR_ABS_FLOOR_MBS = 2500.0
+# pre-pair bucket test: a SUSTAINED probe (long enough to outrun the
+# short-burst allowance that fools 0.5s probes) on an otherwise idle box;
+# healthy reads ~0.9+ parity, a drained bucket blends down well below
+PAIR_START_PARITY = 0.80
+PAIR_START_PROBE_SEC = 1.5
+
+
+class _PairProber:
+    """Background 8-thread probe at ~17% duty (0.25s of probing every
+    1.2s ≈ 1.4 core-seconds/s — small next to the legs' 2-8 busy cores,
+    so it observes the bucket without materially draining it, while
+    sampling densely enough that every ~4s leg run contains >= 2
+    samples). Sample timestamps are midpoints, so each leg run can be
+    judged by the samples that fell inside its wall-clock window."""
+
+    def __init__(self, duration: float = 0.25, interval: float = 0.9):
+        import threading
+
+        self.samples: list[tuple[float, float]] = []
+        self._stop = threading.Event()
+        self._duration = duration
+        self._interval = interval
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "_PairProber":
+        self._thread.start()
+        return self
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            t0 = time.time()
+            rate = _cpu_speed_mt(threads=8, duration=self._duration)
+            self.samples.append(((t0 + time.time()) / 2, rate))
+            self._stop.wait(self._interval)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def window(self, t0: float, t1: float) -> list[float]:
+        return [r for (t, r) in self.samples if t0 <= t <= t1]
+
+
+def _leg_median(samples: list[float]) -> float:
+    import statistics
+
+    return statistics.median(samples) if samples else 0.0
+
+
+_PAIR_WAIT_BUDGET = [1200.0]  # total seconds of pair-window waiting
+
+
+def _wait_pair_window(max_wait: float = 150.0) -> dict:
+    """Wait (bounded per-call and by the shared pair budget) for a window
+    whose SUSTAINED 8-thread rate shows near-full parity with 8x the
+    single-thread rate; return the last probe either way. Waiting happens
+    BEFORE a pair is spent, so a drained bucket costs idle time (which
+    refills it) rather than a wasted pair. The probe itself consumes
+    ~16 core-seconds per test, so tests are spaced well apart."""
+    deadline = time.time() + min(max_wait, _PAIR_WAIT_BUDGET[0])
+    started = time.time()
+    try:
+        while True:
+            spd1 = _cpu_speed()
+            agg8 = _cpu_speed_mt(threads=8, duration=PAIR_START_PROBE_SEC)
+            parity = agg8 / (8 * spd1) if spd1 > 0 else 0.0
+            pt = {
+                "spd1": round(spd1, 1),
+                "agg8": round(agg8, 1),
+                "parity8": round(parity, 3),
+            }
+            if (
+                parity >= PAIR_START_PARITY
+                and agg8 >= PAIR_ABS_FLOOR_MBS
+            ) or time.time() >= deadline:
+                return pt
+            print(
+                f"  pair window not ready (1t {spd1:.0f} MB/s, sustained "
+                f"8t {agg8:.0f} MB/s, parity {parity:.2f}); waiting for "
+                "burst credits...",
+                file=sys.stderr,
+            )
+            time.sleep(20)
+    finally:
+        _PAIR_WAIT_BUDGET[0] = max(
+            0.0, _PAIR_WAIT_BUDGET[0] - (time.time() - started)
+        )
+
+
 def _wait_credits(
     min_mbs: float, max_wait: float = 150.0
 ) -> tuple[float, float]:
@@ -214,15 +361,23 @@ def _scan_worker(master: str, sf_dir: str, rep: int) -> None:
     # adaptive re-planning buys nothing and adds per-action driver
     # latency that the scaling ratio is sensitive to.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sigs = bundled_signatures()
     transcripts = materialized_transcripts(spark, sf_dir, rep=rep)
-    result = scan_transcripts(spark, transcripts, bundled_signatures())
+    result = scan_transcripts(spark, transcripts, sigs)
+    small = scan_transcripts(
+        spark,
+        materialized_transcripts(spark, sf_dir, rep=GATE_REP_SMALL),
+        sigs,
+    )
     n_turns = result.scanned.count()  # cheap: no UDF in this subplan
+    n_turns_small = small.scanned.count()
     # 2 warm-up passes (python-daemon spawn + JIT; measured passes keep
     # warming and min-of-4 takes the steady-state best) — single-run
     # timings on this box swing 2x from JIT recompilation, so the
     # steady-state minimum is the honest number.
     for _ in range(2):
         _noop(result.routed)
+        _noop(small.routed)
     times: list[tuple[float, float]] = []  # (elapsed, probe_before)
     for _ in range(4):
         probe, _w = _wait_credits(0.8 * mt_canon)
@@ -230,9 +385,18 @@ def _scan_worker(master: str, sf_dir: str, rep: int) -> None:
         _noop(result.routed)
         times.append((time.time() - started, probe))
     best, best_probe = min(times)
+    # fixed per-pass cost in the same window (min-of-2 tiny-rep passes):
+    # lets the parent report MARGINAL throughput alongside the raw number
+    t_small = []
+    for _ in range(2):
+        started = time.time()
+        _noop(small.routed)
+        t_small.append(time.time() - started)
     print(json.dumps({
         "elapsed": best,
         "turns": n_turns,
+        "elapsed_small": round(min(t_small), 3),
+        "turns_small": n_turns_small,
         "all_runs": [round(t, 2) for t, _ in times],
         "pass_probes_mbs": [round(p, 1) for _, p in times],
         "best_pass_probe_mbs": round(best_probe, 1),
@@ -249,7 +413,16 @@ def _scan_server(master: str, sf_dir: str, rep: int) -> None:
     elapsed times of a pair roughly equally and cancels in the ratio,
     where the fresh-JVM-per-leg design (legs ~10 min apart, different
     credit states) left the ratio carrying cross-window noise larger than
-    the 0.8 gate margin."""
+    the 0.8 gate margin.
+
+    Each measured pass times TWO runs back-to-back: the identical
+    pipeline over a tiny-rep table (same 64-file layout, same broadcast
+    builds, same python-daemon round-trips — so its elapsed time is this
+    leg's fixed per-pass cost in this window) and over the gate-rep
+    table. The parent subtracts: (t_big - t_small) is the data-
+    proportional work, and the pair ratio becomes a ratio of marginal
+    throughputs, which is what executor scaling means at 100 TB (driver
+    setup does not grow with data)."""
     from loki_rs_spark.plans.pipeline import scan_transcripts
     from loki_rs_spark.queries import bundled_signatures
     from loki_rs_spark.session import get_spark
@@ -261,32 +434,41 @@ def _scan_server(master: str, sf_dir: str, rep: int) -> None:
         shuffle_partitions=cores
     )
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    transcripts = materialized_transcripts(spark, sf_dir, rep=rep)
-    result = scan_transcripts(spark, transcripts, bundled_signatures())
-    n_turns = result.scanned.count()
+    sigs = bundled_signatures()
+    big = scan_transcripts(
+        spark, materialized_transcripts(spark, sf_dir, rep=rep), sigs
+    )
+    small = scan_transcripts(
+        spark,
+        materialized_transcripts(spark, sf_dir, rep=GATE_REP_SMALL),
+        sigs,
+    )
+    turns_big = big.scanned.count()
+    turns_small = small.scanned.count()
     # 4 warm passes: measured single passes (no min-of-N inside a pair)
     # need the JIT fully settled BEFORE the first pair — observed: with 2
     # warm passes the first measured local[8] pass ran 1.5x steady-state
     for _ in range(4):
-        _noop(result.routed)
-    print(json.dumps({"ready": True, "turns": n_turns}), flush=True)
+        _noop(big.routed)
+    for _ in range(2):
+        _noop(small.routed)
+    print(
+        json.dumps(
+            {"ready": True, "turns": turns_big, "turns_small": turns_small}
+        ),
+        flush=True,
+    )
     for line in sys.stdin:
         cmd = line.strip()
         if cmd == "pass":
-            probe = _cpu_speed_mt(duration=0.5)
             started = time.time()
-            _noop(result.routed)
-            elapsed = time.time() - started
+            _noop(small.routed)
+            t_small = time.time() - started
+            started = time.time()
+            _noop(big.routed)
+            t_big = time.time() - started
             print(
-                json.dumps(
-                    {
-                        "elapsed": elapsed,
-                        "probe_mbs": round(probe, 1),
-                        "probe_after_mbs": round(
-                            _cpu_speed_mt(duration=0.5), 1
-                        ),
-                    }
-                ),
+                json.dumps({"elapsed": t_big, "elapsed_small": t_small}),
                 flush=True,
             )
         elif cmd == "quit":
@@ -303,7 +485,7 @@ class _PairServer:
         env["SPARK_GRAFT_MT_CANON"] = str(CANONICAL_CPU_MT_MBS)
         self.proc = subprocess.Popen(
             [sys.executable, __file__, "--scan-server", master, SF_DIR,
-             str(BENCH_REP)],
+             str(GATE_REP)],
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
@@ -313,6 +495,7 @@ class _PairServer:
             env=env,
         )
         self.turns = 0
+        self.turns_small = 0
 
     def _read_json(self, timeout: float) -> dict:
         """Read the next JSON line, bounded: a wedged JVM must fail the
@@ -346,6 +529,7 @@ class _PairServer:
         if not msg.get("ready"):
             raise RuntimeError(f"scan server {self.master}: bad ready {msg}")
         self.turns = msg["turns"]
+        self.turns_small = msg.get("turns_small", 0)
 
     def run_pass(self, timeout: float = 600.0) -> dict:
         self.proc.stdin.write("pass\n")
@@ -366,28 +550,38 @@ class _PairServer:
 
 
 def _paired_gate_legs(
-    n_pairs: int = 7, early_exit_eff: float = 0.82
-) -> tuple[dict, dict, float, list[dict]]:
+    n_pairs: int = 6, max_extra: int = 4
+) -> tuple[dict, dict, float, list[dict], dict]:
     """Measure the 2->8 gate legs as temporally interleaved pairs.
 
-    Returns (r2, r8, eff_2_8, pairs) shaped like _best_scan results.
-    Efficiency is the MEDIAN of per-pair efficiencies over QUALIFIED
-    pairs. Two hazards, two defenses:
+    Returns (r2, r8, eff_2_8, pairs, gate_summary); r2/r8 are shaped like
+    _best_scan results but carry MARGINAL quantities (turns delta over
+    work-time delta). Efficiency is the MEDIAN of per-pair marginal
+    efficiencies over QUALIFIED pairs. Design, one defense per hazard:
 
     * Whole-window slowdown: cancels inside each pair (both legs sample
       the same window); pass order alternates 2-first / 8-first so drift
       within a pair has no systematic direction either.
-    * Parallelism-DEPENDENT throttling: the hypervisor caps AGGREGATE
-      guest CPU when burst credits drain, which throttles the 8-thread
-      leg harder than the 2-thread leg (measured on a drained window:
-      t8 +27% vs canonical while t2 only +12%) — a bias no pairing can
-      cancel. So a pair only QUALIFIES for the median when every probe
-      around it (before each leg and after the pair) reads >= 0.75x the
-      canonical aggregate rate, i.e. the window could actually serve 8
-      cores. If no pair ever qualifies, fall back to the median over all
-      pairs (annotated by the per-pair detail in the output JSON).
+    * Parallelism-DEPENDENT throttling (aggregate burst-credit cap that
+      hits the 8-thread leg harder — no pairing cancels it): a pair only
+      qualifies when all three probe points around it (before the pair,
+      between the legs, after the pair) show 8-thread/1-thread PARITY
+      >= 0.75, i.e. the window serves 8 cores at near-full per-core
+      speed relative to what one core currently gets. Self-normalizing:
+      a uniformly slow window (ratio-fair) qualifies; an aggregate-
+      capped one (ratio-biasing) does not. See _probe_point.
+    * Fixed per-pass driver latency (broadcast builds + python daemon
+      round-trips, ~constant per pass): cancelled per leg by timing the
+      identical pipeline over a tiny-rep table in the same window; the
+      pair ratio uses (t_big - t_small), i.e. marginal throughput. The
+      raw uncorrected ratio is recorded per pair as eff_raw.
+    * Optional stopping: the sample size is FIXED at n_pairs; extra
+      pairs are added only when fewer than 3 pairs QUALIFIED (a validity
+      criterion independent of the measured efficiency values), never
+      because the interim median looked good or bad.
 
-    Throughput numbers come from the best pass per leg, same as before."""
+    If nothing qualifies even after the extras, fall back to the median
+    over the best-parity half of the pairs, annotated in gate_summary."""
     import statistics
 
     s2 = _PairServer("local[2]")
@@ -397,115 +591,212 @@ def _paired_gate_legs(
         s8.wait_ready()
         pairs: list[dict] = []
 
-        def qualified(ps: list[dict]) -> list[dict]:
-            return [p for p in ps if p["qualified"]]
+        # fixed per-pass cost, estimated as the SESSION-MIN over every
+        # clean run's tiny-rep pass: the fixed latency is stable across
+        # healthy windows, so pooling all clean observations and taking
+        # the min removes the per-pair subtraction noise that dominated
+        # rep-200 margins (a 0.6s small-pass swing on a ~2s work margin)
+        clean_smalls: dict[str, list[float]] = {"2": [], "8": []}
 
+        def run_pair(i: int, max_wait: float) -> None:
+            # Four leg runs per pair (2,8,2,8 — or 8-first on odd pairs):
+            # each run is judged INDIVIDUALLY by the mean parity of the
+            # during-samples that fell inside its wall-clock window, and
+            # the leg value is the MEAN over its clean runs (unbiased;
+            # dips are excluded by qualification, not averaged in). The
+            # throttle's deep dips are seconds long — sparse sampling can
+            # under-weigh a dip in a whole-leg median (observed: an
+            # 8-leg inflated 50% while its during-median only dropped
+            # 10%), but a dip either lands inside one run's window (that
+            # run's mean collapses -> excluded) or it missed both runs
+            # and neither was inflated.
+            pt0 = _wait_pair_window(max_wait=max_wait)
+            prober = _PairProber().start()
+            order = ["2", "8", "2", "8"] if i % 2 == 0 else \
+                    ["8", "2", "8", "2"]
+            runs: dict[str, list] = {"2": [], "8": []}
+            try:
+                for leg in order:
+                    t0 = time.time()
+                    resp = (s2 if leg == "2" else s8).run_pass()
+                    runs[leg].append((resp, t0, time.time()))
+            finally:
+                prober.stop()
+            spd1_end = _cpu_speed()
+            # parity anchor: the best single-thread rate seen around the
+            # pair (1t speed survives the aggregate throttle, so the max
+            # is the host's current per-core capability)
+            anchor = 8 * max(pt0["spd1"], spd1_end)
+
+            def run_stats(resp: dict, t0: float, t1: float) -> dict:
+                sam = prober.window(t0, t1)
+                mean = sum(sam) / len(sam) if sam else 0.0
+                return {
+                    "big": round(resp["elapsed"], 2),
+                    "small": round(resp["elapsed_small"], 2),
+                    "mean_mbs": round(mean, 1),
+                    "par": round(mean / anchor, 3) if anchor else 0.0,
+                    "n": len(sam),
+                }
+
+            stats = {
+                leg: [run_stats(*r) for r in runs[leg]] for leg in runs
+            }
+
+            def clean(ss: list[dict]) -> list[dict]:
+                return [
+                    s
+                    for s in ss
+                    if s["n"] >= 2
+                    and s["par"] >= PAIR_PARITY
+                    and s["mean_mbs"] >= PAIR_ABS_FLOOR_MBS
+                ]
+
+            c2, c8 = clean(stats["2"]), clean(stats["8"])
+            clean_smalls["2"] += [s["small"] for s in c2]
+            clean_smalls["8"] += [s["small"] for s in c8]
+            # leg value: mean over clean big runs; unqualified pairs
+            # still get recorded (min over ALL runs) so the detail file
+            # shows what the window looked like. Efficiencies are
+            # (re)computed in _finalize_pairs with the session-min fixed
+            # cost once all pairs are in.
+            t2 = (
+                sum(s["big"] for s in c2) / len(c2)
+                if c2
+                else min(s["big"] for s in stats["2"])
+            )
+            t8 = (
+                sum(s["big"] for s in c8) / len(c8)
+                if c8
+                else min(s["big"] for s in stats["8"])
+            )
+            pairs.append(
+                {
+                    "t2": round(t2, 2),
+                    "t8": round(t8, 2),
+                    "n_clean2": len(c2),
+                    "n_clean8": len(c8),
+                    "start_probe": pt0,
+                    "runs": stats,
+                    "min_parity8": min(
+                        (s["par"] for ss in stats.values() for s in ss),
+                        default=0.0,
+                    ),
+                    "min_agg8_mbs": min(
+                        (
+                            s["mean_mbs"]
+                            for ss in stats.values()
+                            for s in ss
+                        ),
+                        default=0.0,
+                    ),
+                    "qualified": bool(c2 and c8),
+                    "order": ",".join(order),
+                }
+            )
+            print(f"  pair {len(pairs)}: {pairs[-1]}", file=sys.stderr)
+
+        def _finalize_pairs() -> None:
+            """Fill in per-pair efficiencies with the pooled fixed-cost
+            estimate (session-min clean small per leg; per-pair min
+            smalls as the fallback when a leg never produced a clean
+            run)."""
+            f2 = (
+                min(clean_smalls["2"]) if clean_smalls["2"] else None
+            )
+            f8 = (
+                min(clean_smalls["8"]) if clean_smalls["8"] else None
+            )
+            for p in pairs:
+                p2 = f2 if f2 is not None else min(
+                    s["small"] for s in p["runs"]["2"]
+                )
+                p8 = f8 if f8 is not None else min(
+                    s["small"] for s in p["runs"]["8"]
+                )
+                w2, w8 = p["t2"] - p2, p["t8"] - p8
+                usable = w2 > 0 and w8 > 0
+                p["t2_fixed"], p["t8_fixed"] = round(p2, 2), round(p8, 2)
+                p["eff"] = round((w2 / w8) / 4, 3) if usable else 0.0
+                p["eff_raw"] = round((p["t2"] / p["t8"]) / 4, 3)
+                p["qualified"] = bool(p["qualified"] and usable)
+
+        # FIXED sample size: every one of the n_pairs runs regardless of
+        # the interim efficiency values (no outcome-dependent stopping)
         for i in range(n_pairs):
-            # let burst credits recover from the previous pair; bounded,
-            # and the ratio survives even when the wait gives up
-            probe0, _w = _wait_credits(
-                0.8 * CANONICAL_CPU_MT_MBS, max_wait=120.0
-            )
-            if i % 2 == 0:
-                a = s2.run_pass()
-                b = s8.run_pass()
-            else:
-                b = s8.run_pass()
-                a = s2.run_pass()
-            probes = [
-                probe0,
-                a["probe_mbs"],
-                b["probe_mbs"],
-                a.get("probe_after_mbs", probe0),
-                b.get("probe_after_mbs", probe0),
-            ]
-            pairs.append(
-                {
-                    "t2": round(a["elapsed"], 2),
-                    "t8": round(b["elapsed"], 2),
-                    "eff": round((a["elapsed"] / b["elapsed"]) / 4, 3),
-                    "probe2_mbs": a["probe_mbs"],
-                    "probe8_mbs": b["probe_mbs"],
-                    "min_probe_mbs": round(min(probes), 1),
-                    "qualified": min(probes)
-                    >= 0.75 * CANONICAL_CPU_MT_MBS,
-                    "order": "2,8" if i % 2 == 0 else "8,2",
-                }
-            )
-            print(f"  pair {i + 1}: {pairs[-1]}", file=sys.stderr)
-            q = qualified(pairs)
-            if len(q) >= 3 and statistics.median(
-                p["eff"] for p in q
-            ) >= early_exit_eff:
-                break
-
-        def run_pair(i: int) -> None:
-            probe0, _w = _wait_credits(
-                0.85 * CANONICAL_CPU_MT_MBS, max_wait=240.0
-            )
-            if i % 2 == 0:
-                a = s2.run_pass()
-                b = s8.run_pass()
-            else:
-                b = s8.run_pass()
-                a = s2.run_pass()
-            probes = [
-                probe0,
-                a["probe_mbs"],
-                b["probe_mbs"],
-                a.get("probe_after_mbs", probe0),
-                b.get("probe_after_mbs", probe0),
-            ]
-            pairs.append(
-                {
-                    "t2": round(a["elapsed"], 2),
-                    "t8": round(b["elapsed"], 2),
-                    "eff": round((a["elapsed"] / b["elapsed"]) / 4, 3),
-                    "probe2_mbs": a["probe_mbs"],
-                    "probe8_mbs": b["probe_mbs"],
-                    "min_probe_mbs": round(min(probes), 1),
-                    "qualified": min(probes)
-                    >= 0.75 * CANONICAL_CPU_MT_MBS,
-                    "order": "2,8" if i % 2 == 0 else "8,2",
-                }
-            )
-            print(f"  pair {len(pairs)} (extra): {pairs[-1]}",
-                  file=sys.stderr)
-
-        # a drained tank biases every pair downward (aggregate throttle
-        # hits 8 threads harder than 2) — if NOTHING qualified, the right
-        # move is more idle-waiting, not averaging biased samples: up to 3
-        # extra pairs behind longer credit waits
+            run_pair(i, 150.0)
+        # extras are triggered ONLY by measurement validity (fewer than
+        # 3 qualified pairs) behind longer credit waits — a criterion
+        # independent of the efficiency values themselves
         extra = 0
-        while not qualified(pairs) and extra < 3:
-            run_pair(len(pairs))
+        while (
+            sum(p["qualified"] for p in pairs) < 3 and extra < max_extra
+        ):
+            run_pair(len(pairs), 240.0)
             extra += 1
-        q = qualified(pairs)
+        _finalize_pairs()
+        q = [p for p in pairs if p["qualified"]]
+        fallback = None
         if not q:
             # still nothing: the least-biased available estimate is the
-            # best-probed half of the pairs (detail JSON shows the rest)
-            by_probe = sorted(
-                pairs, key=lambda p: p["min_probe_mbs"], reverse=True
+            # best-parity half of the pairs (detail file shows the rest)
+            by_parity = sorted(
+                pairs, key=lambda p: p["min_parity8"], reverse=True
             )
-            q = by_probe[: (len(by_probe) + 1) // 2]
-        eff = statistics.median(p["eff"] for p in q)
-        best2 = min(p["t2"] for p in pairs)
-        best8 = min(p["t8"] for p in pairs)
-        r2 = {
-            "elapsed": best2,
-            "turns": s2.turns,
-            "all_runs": [p["t2"] for p in pairs],
-            "cpu_probe_mbs": None,
-            "cpu_probe_mt_mbs": max(p["probe2_mbs"] for p in pairs),
+            q = by_parity[: (len(by_parity) + 1) // 2]
+            usable = [p for p in q if p["eff"] > 0]
+            if usable:
+                q, fallback = usable, "best_parity_half"
+            else:  # noise swallowed every work margin: raw ratios only
+                fallback = "best_parity_half_raw"
+        eff = statistics.median(
+            p["eff_raw" if fallback == "best_parity_half_raw" else "eff"]
+            for p in q
+        )
+        gate_summary = {
+            "n_pairs": len(pairs),
+            "n_qualified": sum(p["qualified"] for p in pairs),
+            "eff_marginal_median": round(eff, 3),
+            "eff_raw_median": round(
+                statistics.median(p["eff_raw"] for p in q), 3
+            ),
+            "fallback": fallback,
+            "gate_rep": GATE_REP,
+            "gate_rep_small": GATE_REP_SMALL,
         }
-        r8 = {
-            "elapsed": best8,
-            "turns": s8.turns,
-            "all_runs": [p["t8"] for p in pairs],
-            "cpu_probe_mbs": None,
-            "cpu_probe_mt_mbs": max(p["probe8_mbs"] for p in pairs),
-        }
-        return r2, r8, eff, pairs
+        if s2.turns != s8.turns or s2.turns_small != s8.turns_small:
+            raise RuntimeError(
+                f"pair servers disagree on input size: "
+                f"{s2.turns}/{s2.turns_small} vs {s8.turns}/{s8.turns_small}"
+            )
+
+        def leg_result(tk: str, fk: str, turns: int, t_small: int) -> dict:
+            # marginal basis over pairs with a positive work margin; raw
+            # basis if noise swallowed every margin (tiny-SF smoke runs)
+            works = [
+                p[tk] - p[fk] for p in pairs if p[tk] - p[fk] > 0
+            ]
+            if works:
+                return {
+                    "elapsed": min(works),
+                    "turns": turns - t_small,
+                    "all_runs": [p[tk] for p in pairs],
+                    "cpu_probe_mbs": None,
+                    "cpu_probe_mt_mbs": max(
+                        p["min_agg8_mbs"] for p in pairs
+                    ),
+                }
+            return {
+                "elapsed": min(p[tk] for p in pairs),
+                "turns": turns,
+                "all_runs": [p[tk] for p in pairs],
+                "cpu_probe_mbs": None,
+                "cpu_probe_mt_mbs": max(p["min_agg8_mbs"] for p in pairs),
+            }
+
+        r2 = leg_result("t2", "t2_fixed", s2.turns, s2.turns_small)
+        r8 = leg_result("t8", "t8_fixed", s8.turns, s8.turns_small)
+        return r2, r8, eff, pairs, gate_summary
     finally:
         s2.close()
         s8.close()
@@ -697,33 +988,34 @@ def main() -> None:
         f"mt {CANONICAL_CPU_MT_MBS:.0f} MB/s",
         file=sys.stderr,
     )
-    # build the stored table once at full parallelism so the local[2] leg
-    # doesn't pay the (excluded-from-timing but slow) generation
+    # build the gate-leg stored tables once at full parallelism so the
+    # local[2] leg doesn't pay the (excluded-from-timing but slow)
+    # generation. ONLY the light gate tables here: the full-rep table is
+    # a 32-core burn that would drain burst credits right before the
+    # pairs, so it is materialized AFTER the gate completes.
     subprocess.run(
-        [sys.executable, __file__, "--materialize", SF_DIR, str(BENCH_REP)],
+        [sys.executable, __file__, "--materialize", SF_DIR,
+         f"{GATE_REP_SMALL},{GATE_REP}"],
         capture_output=True, timeout=1200, cwd=str(REPO),
     )
 
-    # local[2] is nearly contention-immune (30 spare cores) -> one attempt;
-    # local[8] carries the north-rule N->4N criterion -> retry under noise.
-    # Both gate legs require healthier probes (0.7x canonical) than the
-    # 0.6x degraded floor: round-2's driver run recorded 0.797 efficiency
-    # purely because the local[8] leg measured on a drained-credit window
-    # while local[2] measured on a full one. (0.85x proved unreachable
-    # when the canonical recalibration catches a golden window — the
-    # probe-parity retry below handles relative fairness beyond the bar.)
-    # Gate legs (2 and 8) measure as temporally INTERLEAVED pairs in two
-    # live JVMs (see _scan_server): rounds 1-3 all measured the legs in
-    # fresh JVMs ~10 min apart, and the driver-recorded efficiency
-    # (0.701/0.797/0.737) tracked the credit-window DIFFERENCE between
-    # the two measurement windows, not the plan. Pairing makes the ratio
-    # window-invariant; the median over pairs drops any pair a credit
-    # cliff straddled. Fallback to fresh-JVM legs + probe-parity retries
-    # only if the paired path itself fails.
+    # Gate legs (2 and 8) run FIRST — before the full-rep materialization
+    # and local[32]/per-query legs burn any burst credits — as temporally
+    # INTERLEAVED pairs in two live JVMs (see _scan_server and
+    # _paired_gate_legs): rounds 1-3 measured the legs in fresh JVMs
+    # ~10 min apart, and the driver-recorded efficiency (0.701/0.797/
+    # 0.737) tracked the credit-window DIFFERENCE between the two
+    # measurement windows, not the plan; round 4's absolute-floor
+    # qualification then rejected every pair because the driver's windows
+    # were uniformly slow (ratio-fair) rather than full-credit. The pair
+    # path now qualifies on in-window 8-thread/1-thread PARITY, cancels
+    # fixed per-pass latency, and runs a fixed sample of pairs. Fallback
+    # to fresh-JVM legs only if the paired path itself fails.
     paired_eff: float | None = None
     pairs_detail: list[dict] = []
+    gate_summary: dict = {}
     try:
-        r2, r8, paired_eff, pairs_detail = _paired_gate_legs()
+        r2, r8, paired_eff, pairs_detail, gate_summary = _paired_gate_legs()
         thr2 = r2["turns"] / r2["elapsed"]
     except Exception as exc:  # noqa: BLE001 - any server failure -> legacy
         print(f"  paired gate legs failed ({exc}); falling back to "
@@ -754,12 +1046,37 @@ def main() -> None:
                     )
             else:
                 break
+    # the full-rep table build is a 32-core burn: deliberately AFTER the
+    # gate pairs so it cannot drain their credit windows
+    subprocess.run(
+        [sys.executable, __file__, "--materialize", SF_DIR,
+         str(BENCH_REP)],
+        capture_output=True, timeout=1200, cwd=str(REPO),
+    )
     r32 = _best_scan(f"local[{CPUS}]", attempts=2,
                      good_enough=(CPUS / 2) * 0.55, baseline_thr=thr2)
 
-    thr2 = r2["turns"] / r2["elapsed"]
-    thr8 = r8["turns"] / r8["elapsed"]
-    thr32 = r32["turns"] / r32["elapsed"]
+    # throughputs are MARGINAL (turns delta / work-time delta, fixed
+    # per-pass latency cancelled — see _scan_server docstring) wherever a
+    # tiny-rep measurement exists; raw turns/elapsed is reported alongside
+    # for cross-round comparability. Paired-path r2/r8 already carry
+    # marginal quantities; fresh-JVM results carry turns_small/
+    # elapsed_small to marginalize here.
+    def _thr(r: dict) -> float:
+        if (
+            r.get("turns_small")
+            and r["turns"] > r["turns_small"]
+            and r["elapsed"] > r.get("elapsed_small", 0.0)
+        ):
+            return (r["turns"] - r["turns_small"]) / (
+                r["elapsed"] - r["elapsed_small"]
+            )
+        return r["turns"] / r["elapsed"]
+
+    thr2 = _thr(r2)
+    thr8 = _thr(r8)
+    thr32_raw = r32["turns"] / r32["elapsed"]
+    thr32 = _thr(r32)
     # median of window-paired ratios when available (the robust
     # estimator); ratio of best passes only on the legacy fallback path
     eff_2_8 = paired_eff if paired_eff is not None else (thr8 / thr2) / 4
@@ -775,6 +1092,39 @@ def main() -> None:
     spark.stop()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # full per-pair + probe detail goes to a SIDE FILE: round 4's inline
+    # pair detail pushed the result line past the driver's stdout tail
+    # capture and the per-query dict was lost (BENCH_r04 parsed: null).
+    # The final stdout line stays compact (~1 KB).
+    detail = {
+        "gate": gate_summary,
+        "scaling_pairs_2_8": pairs_detail,
+        "cpu_probe_canonical_mbs": CANONICAL_CPU_MBS,
+        "cpu_probe_mt_canonical_mbs": CANONICAL_CPU_MT_MBS,
+        "cpu_probe_mbs": {
+            "local2": r2.get("cpu_probe_mbs"),
+            "local8": r8.get("cpu_probe_mbs"),
+            f"local{CPUS}": r32.get("cpu_probe_mbs"),
+        },
+        "cpu_probe_mt_mbs": {
+            "local2": r2.get("cpu_probe_mt_mbs"),
+            "local8": r8.get("cpu_probe_mt_mbs"),
+            f"local{CPUS}": r32.get("cpu_probe_mt_mbs"),
+        },
+        "local32_raw": {
+            "elapsed": r32["elapsed"],
+            "elapsed_small": r32.get("elapsed_small"),
+            "turns_small": r32.get("turns_small"),
+            "all_runs": r32.get("all_runs"),
+        },
+    }
+    detail_path = REPO / "BENCH" / "scaling_pairs.json"
+    try:
+        detail_path.parent.mkdir(exist_ok=True)
+        detail_path.write_text(json.dumps(detail, indent=1))
+    except OSError as exc:  # read-only checkout: keep the bench alive
+        print(f"  could not write {detail_path}: {exc}", file=sys.stderr)
+    print("DETAIL " + json.dumps(detail), file=sys.stderr)
     result = {
         "metric": "scan_pipeline_total_sec",
         "value": round(time.time() - total_started, 3),
@@ -782,36 +1132,21 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "turns": r32["turns"],
+        # marginal throughputs (fixed per-pass latency cancelled; raw
+        # local32 alongside for cross-round comparability)
         "turns_per_sec_local2": round(thr2, 1),
         "turns_per_sec_local8": round(thr8, 1),
         f"turns_per_sec_local{CPUS}": round(thr32, 1),
+        f"turns_per_sec_local{CPUS}_raw": round(thr32_raw, 1),
         # N vs 4N executor-scaling evidence (see BENCH/BASELINE.md): the
         # 2->8 pair is below this single box's memory-bandwidth/Python-
         # bridge saturation point; 8->32 shares one bus and one loopback.
         "scaling_efficiency_2_to_8": round(eff_2_8, 3),
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
-        # per-pair detail for the interleaved 2<->8 measurement (empty on
-        # the legacy fallback path): each pair samples both parallelism
-        # levels in the same host window
-        "scaling_pairs_2_8": pairs_detail,
-        # host-health context: single-thread sha256 MB/s measured right
-        # before each level's best attempt. The sandbox host is
-        # time-shared; values well under canonical mean the throughput
-        # (not the correctness) of this run was hypervisor-throttled.
-        "cpu_probe_canonical_mbs": CANONICAL_CPU_MBS,
-        "cpu_probe_mbs": {
-            "local2": r2.get("cpu_probe_mbs"),
-            "local8": r8.get("cpu_probe_mbs"),
-            f"local{CPUS}": r32.get("cpu_probe_mbs"),
-        },
-        # aggregate multi-thread probe per leg (burst-credit state; the
-        # probe the 2->8 parity retry gates on)
-        "cpu_probe_mt_canonical_mbs": CANONICAL_CPU_MT_MBS,
-        "cpu_probe_mt_mbs": {
-            "local2": r2.get("cpu_probe_mt_mbs"),
-            "local8": r8.get("cpu_probe_mt_mbs"),
-            f"local{CPUS}": r32.get("cpu_probe_mt_mbs"),
-        },
+        # gate-measurement summary; per-pair/per-probe detail in
+        # BENCH/scaling_pairs.json (and the DETAIL stderr line above)
+        "gate": gate_summary,
+        "pairs_detail_file": "BENCH/scaling_pairs.json",
     }
     print(json.dumps(result))
 
@@ -822,7 +1157,8 @@ if __name__ == "__main__":
         from loki_rs_spark.sources.transcripts import materialized_transcripts
 
         spark = get_spark(app_name="bench-materialize")
-        materialized_transcripts(spark, sys.argv[2], rep=int(sys.argv[3]))
+        for rep_s in sys.argv[3].split(","):
+            materialized_transcripts(spark, sys.argv[2], rep=int(rep_s))
         spark.stop()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scan-worker":
         _scan_worker(sys.argv[2], sys.argv[3], int(sys.argv[4]))

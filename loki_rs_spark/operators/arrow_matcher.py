@@ -408,6 +408,7 @@ def match_gate_exprs(sigs: SignatureSet):
 
     from ..signatures.compile import hex_to_regex, regex_literal, wide_interleave
     from ..signatures.conditions import (
+        collect_size_nodes,
         collect_uint_nodes,
         condition_negates_strings,
     )
@@ -469,6 +470,20 @@ def match_gate_exprs(sigs: SignatureSet):
                 conds.append(
                     F.length(F.col("text")) >= node.offset + node.size
                 )
+        # filesize reads likewise have no covering literal: the exact
+        # JVM-side comparison is its own (sound and tight) superset probe
+        for node in collect_size_nodes(rule.condition_ast):
+            length = F.length(F.col("text"))
+            conds.append(
+                {
+                    "eq": length == node.value,
+                    "ne": length != node.value,
+                    "gt": length > node.value,
+                    "ge": length >= node.value,
+                    "lt": length < node.value,
+                    "le": length <= node.value,
+                }[node.op]
+            )
     if alts:
         conds.append(F.col("text").rlike("|".join(alts)))
 

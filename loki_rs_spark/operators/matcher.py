@@ -217,6 +217,18 @@ class TextOps:
             .astype(bool)
         )
 
+    def lengths(self) -> np.ndarray:
+        """Character lengths (codepoints; NULL -> 0) — the filesize
+        analog's length convention, shared with F.length / DuckDB
+        length() / Python len()."""
+        import pyarrow.compute as pc
+
+        return (
+            pc.fill_null(pc.utf8_length(self.arr), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype("int64")
+        )
+
     def nth_offsets(
         self, needle: str, nocase: bool, index: int, rows: np.ndarray
     ) -> dict[int, int]:
@@ -298,6 +310,13 @@ class _MaskBackend:
             out[i] = cmp_int(node.op, pos, node.value)
         return out
 
+    def size_cmp(self, node) -> np.ndarray:
+        if self.text_ops is None:
+            raise RuntimeError(
+                "filesize operator without text ops wired"
+            )  # pragma: no cover - engine wires text_ops for these rules
+        return _np_cmp(node.op, self.text_ops.lengths(), node.value)
+
     def uint_cmp(self, node) -> np.ndarray:
         if self.text_ops is None:
             raise RuntimeError(
@@ -361,6 +380,7 @@ class CompiledEngine:
             for ioc in sigs.filename_iocs
         ]
         from ..signatures.conditions import (
+            collect_size_nodes,
             collect_string_op_nodes,
             collect_uint_nodes,
         )
@@ -378,7 +398,8 @@ class CompiledEngine:
                     ast,
                     {s.identifier: s for s in rule.strings},
                     bool(collect_string_op_nodes(ast))
-                    or bool(collect_uint_nodes(ast)),
+                    or bool(collect_uint_nodes(ast))
+                    or bool(collect_size_nodes(ast)),
                 )
             )
         self.atom_index = {

@@ -194,6 +194,10 @@ class _SqlCondBackend:
             f"@{node.identifier[1:]}[{node.index}] has no SQL rendering"
         )
 
+    def size_cmp(self, node) -> str:
+        # length() = CHARACTER count, the engine-wide length convention
+        return f"(length(text) {_SQL_CMP[node.op]} {node.value})"
+
     def uint_cmp(self, node) -> str:
         eq = (
             f"(substr(text, {node.offset + 1}, {node.size})"
@@ -504,6 +508,12 @@ def yara_xor_base64_hits_sql(sigs: SignatureSet, rep: int) -> str:
     from .queries import XOR_B64_RULE_PREFIXES
 
     return _yara_subset_hits_sql(sigs, rep, XOR_B64_RULE_PREFIXES)
+
+
+def yara_filesize_hits_sql(sigs: SignatureSet, rep: int) -> str:
+    from .queries import FILESIZE_RULE_PREFIXES
+
+    return _yara_subset_hits_sql(sigs, rep, FILESIZE_RULE_PREFIXES)
 
 
 def c2_hits_sql(sigs: SignatureSet, rep: int) -> str:

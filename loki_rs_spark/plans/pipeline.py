@@ -475,6 +475,17 @@ class _CatalystCondBackend:
             return eq
         return (F.length(F.col("text")) >= node.offset + node.size) & ~eq
 
+    def size_cmp(self, node) -> Column:
+        length = F.length(F.col("text"))
+        return {
+            "eq": length == node.value,
+            "ne": length != node.value,
+            "gt": length > node.value,
+            "ge": length >= node.value,
+            "lt": length < node.value,
+            "le": length <= node.value,
+        }[node.op]
+
     def str_ref(self, ident: str) -> Column:
         return self.str_cols[ident]
 

@@ -264,6 +264,11 @@ class _RowBackend:
             return False  # out-of-bounds read: yara undefined -> False
         return (window == node.needle) == (node.op == "eq")
 
+    def size_cmp(self, node) -> bool:
+        from ..signatures.conditions import cmp_int
+
+        return cmp_int(node.op, len(self.text), node.value)
+
     def str_ref(self, ident: str) -> bool:
         return self.fired[ident]
 

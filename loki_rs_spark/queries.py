@@ -193,6 +193,7 @@ def q_filename_ioc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTVAR_RULE_PREFIXES = ("ExtVar_", "Fullword_")
 COUNT_OFFSET_RULE_PREFIXES = ("Count_", "At_", "In_", "Uint_")
 XOR_B64_RULE_PREFIXES = ("Xor_", "B64_")
+FILESIZE_RULE_PREFIXES = ("Size_",)
 
 
 def _yara_rule_subset_hits(
@@ -251,6 +252,17 @@ def q_yara_xor_base64_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     an out-of-range decoy, and a realistic base64 stream whose
     alignment-1 variant fires while the raw literal must not."""
     return _yara_rule_subset_hits(spark, sf_dir, XOR_B64_RULE_PREFIXES)
+
+
+def q_yara_filesize_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 filesize conditions in isolation: yara's filesize global mapped
+    to the turn text's character length (signatures/conditions.py
+    SizeCmp; the reference compiles full yara-x where filesize is the
+    scanned file's byte size, src/main.rs:780-872). Bundled rules cover
+    the gate-safe >, >= (with KB suffix) and == directions, standalone
+    and AND-ed with string matches; the <-family is covered by
+    test-local sets (candidate-gate soundness, see filesize.yar)."""
+    return _yara_rule_subset_hits(spark, sf_dir, FILESIZE_RULE_PREFIXES)
 
 
 def q_c2_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1438,6 +1450,7 @@ QUERIES = {
     "yara_extvar_hits": q_yara_extvar_hits,
     "yara_count_offset_hits": q_yara_count_offset_hits,
     "yara_xor_base64_hits": q_yara_xor_base64_hits,
+    "yara_filesize_hits": q_yara_filesize_hits,
     "c2_hits": q_c2_hits,
     "archive_child_matches": q_archive_child_matches,
     "per_conv_rollup": q_per_conv_rollup,
@@ -1490,6 +1503,7 @@ def oracle_queries() -> dict[str, str]:
         "yara_extvar_hits": o.yara_extvar_hits_sql(sigs, rep),
         "yara_count_offset_hits": o.yara_count_offset_hits_sql(sigs, rep),
         "yara_xor_base64_hits": o.yara_xor_base64_hits_sql(sigs, rep),
+        "yara_filesize_hits": o.yara_filesize_hits_sql(sigs, rep),
         "c2_hits": o.c2_hits_sql(sigs, rep),
         "archive_child_matches": o.archive_child_matches_sql(sigs, cfg, rep),
         "per_conv_rollup": o.per_conv_rollup_sql(sigs, cfg, rep),

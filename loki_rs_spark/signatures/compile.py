@@ -192,6 +192,65 @@ def hex_to_regex(body: str, context: str = "") -> str:
     return result
 
 
+# '(?' group heads allowed in the shared Java/RE2/Python dialect:
+# non-capturing groups and the common inline flags. Everything else —
+# lookarounds (?= (?! (?<, atomic (?>, conditionals (?(, Python-only
+# named groups (?P< (Java spells them (?<name>) — is rejected at load
+# time: the four evaluation engines split across Python re (capture
+# offsets), RE2 (pyarrow kernels + DuckDB oracle) and Java (Catalyst
+# rlike), and a construct missing from ANY of them would otherwise
+# surface as a runtime kernel error or, worse, a silent semantic skew.
+_ALLOWED_GROUP_HEAD = re.compile(r"\(\?(?::|[imsU]+[):])")
+
+
+def validate_shared_regex(pattern: str, ctx: str = "") -> None:
+    """Loud load-time rejection of regex constructs outside the
+    Java ∩ RE2 ∩ Python dialect every backend can run."""
+    i, in_class = 0, False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            nxt = pattern[i + 1]
+            if not in_class:
+                if nxt.isdigit():
+                    raise YaraUnsupportedError(
+                        f"backreference/octal escape \\{nxt} is outside "
+                        f"the shared regex dialect{ctx}"
+                    )
+                if nxt in "pPzZGK":
+                    raise YaraUnsupportedError(
+                        f"\\{nxt} is outside the shared Java/RE2/Python "
+                        f"regex dialect{ctx}"
+                    )
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(" and pattern[i + 1 : i + 2] == "?":
+            if not _ALLOWED_GROUP_HEAD.match(pattern, i):
+                raise YaraUnsupportedError(
+                    f"regex group {pattern[i:i + 4]!r}... (lookaround/"
+                    f"atomic/conditional/named) is outside the shared "
+                    f"Java/RE2/Python dialect{ctx}"
+                )
+        if c in "*+?" and pattern[i + 1 : i + 2] == "+":
+            raise YaraUnsupportedError(
+                f"possessive quantifier {c}+ is Java-only{ctx}"
+            )
+        i += 1
+    try:
+        re.compile(pattern)
+    except re.error as e:
+        raise YaraUnsupportedError(f"regex does not compile: {e}{ctx}")
+
+
 def validate_string(s: YaraString) -> None:
     """Reject modifier combinations outside the supported subset."""
     ctx = f" (string {s.identifier})"
@@ -243,6 +302,8 @@ def validate_string(s: YaraString) -> None:
         raise YaraUnsupportedError(f"'wide' on regex strings{ctx}")
     if s.wide and s.fullword:
         raise YaraUnsupportedError(f"'wide fullword' combination{ctx}")
+    if s.is_regex:
+        validate_shared_regex(s.pattern, ctx)
 
 
 def _core_forms(s: YaraString) -> list[str]:

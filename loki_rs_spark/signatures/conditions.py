@@ -41,6 +41,7 @@ YaraUnsupportedError at parse time rather than silently misfiring):
     offset_cmp := OFFSET_ID ('[' INT ']')? CMP INT  -- '@a[1] < 100'
     at_in    := 'at' INT | 'in' '(' INT '..' INT ')'
     uint_cmp := ('uint8'|'uint16'|'uint32') '(' INT ')' ('=='|'!=') INT
+    size_cmp := 'filesize' CMP INT ('KB'|'MB')?
     VAR      := filename | filepath | extension | filetype | owner
     OP       := '==' | '!=' | contains | icontains | startswith |
                 istartswith | endswith | iendswith | iequals | matches
@@ -193,6 +194,20 @@ class UintCmp:
     offset: int
     op: str  # eq | ne
     needle: str  # chr(b) for b in value.to_bytes(size, 'little')
+
+
+@dataclass(frozen=True)
+class SizeCmp:
+    """'filesize CMP N' — yara's scanned-data size in bytes, mapped to
+    the turn text's CHARACTER length (== byte length on the engine's
+    char==byte text model; every backend and the matched-offset
+    convention use character units). KB/MB suffixes are 1024-based, as
+    in yara. This is the turn-table analog of the reference's file-size
+    gate (filesystem_scan.rs max_file_size / F7), which signature-base
+    rules lean on heavily (`filesize < 800KB and all of them`)."""
+
+    op: str  # eq|ne|gt|ge|lt|le
+    value: int
 
 
 INT_CMPS = {
@@ -519,6 +534,22 @@ class _Parser:
             return UintCmp(
                 size, offset, INT_CMPS[op_val], "".join(chr(b) for b in hay)
             )
+        if kind == "word" and val == "filesize":
+            op_kind, op_val = self.next()
+            if op_kind != "cmp":
+                raise YaraUnsupportedError(
+                    f"filesize expects a comparison operator, got {op_val!r}"
+                )
+            v_kind, v_val = self.next()
+            if v_kind != "int":
+                raise YaraUnsupportedError(
+                    f"filesize comparison expects an integer, got {v_val!r}"
+                )
+            value = _to_int(v_val)
+            if self.peek() in (("word", "KB"), ("word", "MB")):
+                _, unit = self.next()
+                value *= 1024 if unit == "KB" else 1024 * 1024
+            return SizeCmp(INT_CMPS[op_val], value)
         if kind == "word" and val in EXT_VARS:
             op_kind, op_val = self.next()
             op = _OPS.get(op_val)
@@ -535,6 +566,9 @@ class _Parser:
                 body, _, flags = v_val.rpartition("/")
                 body = body[1:].replace("\\/", "/")
                 prefix = "".join(f"(?{f})" for f in flags)
+                from .compile import validate_shared_regex
+
+                validate_shared_regex(prefix + body, f" ({val} matches)")
                 return ExtPred(val, "matches", prefix + body)
             if v_kind != "string":
                 raise YaraUnsupportedError(
@@ -593,6 +627,18 @@ def collect_uint_nodes(node) -> list:
         return collect_uint_nodes(node.operand)
     if isinstance(node, (AndExpr, OrExpr)):
         return [t for x in node.items for t in collect_uint_nodes(x)]
+    return []
+
+
+def collect_size_nodes(node) -> list:
+    """Every SizeCmp node — like uint reads, no string literal covers
+    them, so the text gate needs a superset probe per node."""
+    if isinstance(node, SizeCmp):
+        return [node]
+    if isinstance(node, Not):
+        return collect_size_nodes(node.operand)
+    if isinstance(node, (AndExpr, OrExpr)):
+        return [t for x in node.items for t in collect_size_nodes(x)]
     return []
 
 
@@ -690,7 +736,9 @@ def condition_negates_strings(node, neg: bool = False) -> bool:
       fire once blanked (e.g. `#a < 5` with real count 7)."""
     if isinstance(node, (OfThem, StrRef, AtExpr, InExpr, OffsetCmp, UintCmp)):
         return neg
-    if isinstance(node, CountCmp):
+    if isinstance(node, (CountCmp, SizeCmp)):
+        # blank text has count 0 / length 0; the node evaluates to the
+        # constant cmp(0, value) on blanked rows
         blank_fires = cmp_int(node.op, 0, node.value)
         return blank_fires != neg
     if isinstance(node, Not):
@@ -726,4 +774,6 @@ def render_condition(node, backend):
         return backend.offset_cmp(node)
     if isinstance(node, UintCmp):
         return backend.uint_cmp(node)
+    if isinstance(node, SizeCmp):
+        return backend.size_cmp(node)
     raise YaraUnsupportedError(f"unknown AST node: {node!r}")

@@ -185,6 +185,15 @@ def _unquote(s: str) -> str:
 def parse_yara_rules(text: str) -> list[YaraRule]:
     rules: list[YaraRule] = []
     text = _strip_comments(text)  # 'rule' inside a comment must not parse
+    priv = re.search(r"\b(private|global)\s+rule\s+(\w+)", text)
+    if priv:
+        # loading a private rule as a normal one would REPORT its matches
+        # (yara suppresses them and only feeds other rules' conditions) —
+        # a silent semantic divergence; reject loudly instead
+        raise YaraUnsupportedError(
+            f"rule {priv.group(2)}: '{priv.group(1)} rule' semantics are "
+            "not supported (matches would be mis-reported as findings)"
+        )
     for m in _RULE_RE.finditer(text):
         body = m.group("body")
         sections: dict[str, str] = {}
@@ -288,9 +297,17 @@ def _strip_comments(text: str) -> str:
     """Strip // line comments, quote-aware: a // inside a "..." string
     literal or a /regex/ body is NOT a comment. Regex bodies are tracked
     as their own quoting context (entered on the / that follows '=' in a
-    string definition) so a regex containing an unpaired double-quote
-    (e.g. $r = /say "x{2}/) can't flip the string state and let a trailing
-    // survive into the modifier tail."""
+    string definition, or the ext-var 'matches' keyword in a condition)
+    so a regex containing an unpaired double-quote (e.g. $r = /say "x{2}/)
+    or a // sequence (e.g. matches /\/(tmp|shm)\//) can't flip the
+    string state or get truncated as a comment."""
+
+    def _opens_regex(prefix: str) -> bool:
+        prefix = prefix.rstrip()
+        return prefix.endswith("=") or bool(
+            re.search(r"\bmatches$", prefix)
+        )
+
     out_lines = []
     for line in text.splitlines():
         in_str: str | None = None
@@ -309,14 +326,15 @@ def _strip_comments(text: str) -> str:
             elif c == "/":
                 if line[i + 1 : i + 2] == "/":
                     # not a comment if this / OPENS a regex body (it
-                    # directly follows '=' — the regex just starts with /)
-                    if line[:i].rstrip().endswith("="):
+                    # directly follows '=' or 'matches' — the regex just
+                    # starts with a / or an escaped-slash sequence)
+                    if _opens_regex(line[:i]):
                         in_str = "/"
                         i += 1
                         continue
                     cut = i
                     break
-                if line[:i].rstrip().endswith("="):
+                if _opens_regex(line[:i]):
                     in_str = "/"
             i += 1
         out_lines.append(line[:cut])

@@ -205,12 +205,23 @@ def materialized_transcripts(
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     path = f"{base}/transcripts_{name}_rep{rep}"
     if not os.path.exists(f"{path}/_SUCCESS"):
+        # write-to-temp + atomic rename: concurrent processes (e.g. two
+        # bench pair servers started together) must never interleave
+        # writes into the same table directory — the loser of the rename
+        # race just deletes its copy and reads the winner's
+        tmp = f"{path}.tmp-{os.getpid()}"
         (
             load_transcripts(spark, sf_dir, rep=rep)
             .repartition(n_files)
             .write.mode("overwrite")
-            .parquet(path)
+            .parquet(tmp)
         )
+        try:
+            os.rename(tmp, path)
+        except OSError:  # somebody else won the race
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 

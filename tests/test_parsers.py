@@ -179,6 +179,10 @@ def test_bundled_corpus_loads():
         "ExtVar_Mimikatz_Name",
         "ExtVar_OfSet_Indicators",
         "Fullword_Probe",
+        "Size_Long_Netcat_Session",
+        "Size_Beacon_Min_Window",
+        "Size_Exact_Replaced_Payload",
+        "Size_KB_Suffix_Floor",
         "Xor_Hidden_Marker",
         "Xor_Single_Key",
         "B64_Exfil_Marker",

@@ -482,7 +482,7 @@ def test_unsupported_yara_constructs_raise():
     with pytest.raises(YaraUnsupportedError):  # hex byte >= 0x80
         parse_yara_rules(rule("$a = { 4D 5A 90 }", "any of them"))
     with pytest.raises(YaraUnsupportedError):  # unsupported condition fn
-        parse_yara_rules(rule('$a = "x"', "filesize > 100"))
+        parse_yara_rules(rule('$a = "x"', "entrypoint > 100"))
     with pytest.raises(YaraUnsupportedError):  # of-set selecting nothing
         parse_yara_rules(rule('$a = "x"', "any of ($zzz*)"))
     with pytest.raises(YaraUnsupportedError):  # wildcard ref outside of-set
@@ -936,3 +936,104 @@ def test_uint_rejections():
         parse_yara_rules(rule("uint16(0) == 0x0041"))
     # the MZ idiom parses as a stringless rule
     assert len(parse_yara_rules(rule("uint16(0) == 0x5a4d"))) == 1
+
+
+# ---- filesize conditions (yara filesize global -> text char length) ------
+
+
+def _size_rule(condition: str, strings=()):
+    return _sigs(
+        yara_rules=[
+            YaraRule("SizeR", 70, "", "", "", tuple(strings), condition)
+        ]
+    )
+
+
+@pytest.mark.parametrize(
+    "condition,length,hit",
+    [
+        ("filesize > 10", 11, True),
+        ("filesize > 10", 10, False),
+        ("filesize >= 10", 10, True),
+        ("filesize < 10", 9, True),
+        ("filesize < 10", 10, False),
+        ("filesize <= 10", 10, True),
+        ("filesize == 10", 10, True),
+        ("filesize == 10", 11, False),
+        ("filesize != 10", 11, True),
+        ("filesize != 10", 10, False),
+        ("filesize >= 1KB", 1024, True),
+        ("filesize >= 1KB", 1023, False),
+        ("filesize < 1MB", 1024, True),
+    ],
+)
+def test_filesize_truth_table_reference_row(spark, condition, length, hit):
+    sigs = _size_rule(condition)
+    ref = scan_turn("c0", 0, "x" * length, "tool-x", sigs, CFG)
+    assert (ref is not None) == hit
+
+
+def test_filesize_lt_pipeline_matches_reference(spark):
+    """The < direction disables the candidate text gate (blank text has
+    length 0); the full pipeline must still agree row-by-row with the
+    reference scanner."""
+    sigs = _size_rule("filesize < 10 and $s", [YaraString("$s", "hit")])
+    rows = [
+        ("hit ok", "tool-a"),  # 6 chars, marker -> fires
+        ("hit but this text is far too long", "tool-b"),  # no
+        ("short", "tool-c"),  # no marker -> no
+    ]
+    got = _routed_levels(spark, rows, sigs)
+    assert 0 in got and 1 not in got and 2 not in got
+    ref = scan_turn("c0", 0, rows[0][0], rows[0][1], sigs, CFG)
+    assert ref is not None
+
+
+def test_filesize_and_string_pipeline_gate_safe(spark):
+    """> direction keeps the gate on; combined string+size condition must
+    prune by BOTH conjuncts through the gated pipeline."""
+    sigs = _size_rule("$s and filesize > 20", [YaraString("$s", "marker")])
+    rows = [
+        ("marker plus enough padding here", "t0"),  # both -> fires
+        ("marker short", "t1"),  # size fails
+        ("no hit but long enough padding here", "t2"),  # string fails
+    ]
+    got = _routed_levels(spark, rows, sigs)
+    assert 0 in got and 1 not in got and 2 not in got
+
+
+def test_filesize_negation_soundness():
+    from loki_rs_spark.signatures.conditions import (
+        condition_negates_strings,
+        parse_condition,
+    )
+
+    # blank length 0: lt/le/ne fire on blanked rows -> unsafe
+    assert condition_negates_strings(parse_condition("filesize < 10"))
+    assert condition_negates_strings(parse_condition("filesize <= 10"))
+    assert condition_negates_strings(parse_condition("filesize != 10"))
+    # gt/ge/eq(non-zero) are False on blanked rows -> safe
+    assert not condition_negates_strings(parse_condition("filesize > 10"))
+    assert not condition_negates_strings(parse_condition("filesize >= 10"))
+    assert not condition_negates_strings(parse_condition("filesize == 10"))
+    # negation flips safety
+    assert condition_negates_strings(parse_condition("not filesize > 10"))
+
+
+def test_filesize_parse_rejections():
+    from loki_rs_spark.signatures.conditions import YaraUnsupportedError
+    from loki_rs_spark.signatures.parsers import parse_yara_rules
+
+    def rule(condition: str) -> str:
+        return "rule R {\n  condition:\n    " + condition + "\n}"
+
+    with pytest.raises(YaraUnsupportedError):  # missing comparison
+        parse_yara_rules(rule("filesize"))
+    with pytest.raises(YaraUnsupportedError):  # non-integer operand
+        parse_yara_rules(rule('filesize > "big"'))
+    # KB/MB suffixes are 1024-based
+    from loki_rs_spark.signatures.conditions import parse_condition
+
+    assert parse_condition("filesize > 2KB").value == 2048
+    assert parse_condition("filesize > 1MB").value == 1 << 20
+    assert parse_condition("filesize > 0x10").value == 16
