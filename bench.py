@@ -445,10 +445,13 @@ def _scan_server(master: str, sf_dir: str, rep: int) -> None:
     )
     turns_big = big.scanned.count()
     turns_small = small.scanned.count()
-    # 4 warm passes: measured single passes (no min-of-N inside a pair)
-    # need the JIT fully settled BEFORE the first pair — observed: with 2
-    # warm passes the first measured local[8] pass ran 1.5x steady-state
-    for _ in range(4):
+    # 7 warm passes: measured runs need the JIT fully settled BEFORE the
+    # first pair — with 4 warm passes at the (smaller) rep-320 gate legs
+    # the first two pairs' 8-legs still ran 1.4-1.7x steady-state (JIT
+    # warms by data volume, and a rep-320 pass sees 1/5th of rep-1600's);
+    # the pre-pair credit wait runs after warmup, so the extra burn is
+    # refilled before measurement starts
+    for _ in range(7):
         _noop(big.routed)
     for _ in range(2):
         _noop(small.routed)

@@ -1058,6 +1058,47 @@ SELECT media_id, kind, {out_w} AS out_w, {out_h} AS out_h,
 FROM px GROUP BY media_id, kind"""
 
 
+def media_decode_sql(limit: int = 64) -> str:
+    """Independent rendering of the real-container decode stats: the blob
+    construction is deterministic from documents.text (BMP pixel array =
+    text bytes cycled to 768; WAV samples = first <=256 text bytes), so
+    the oracle computes the payload stats DIRECTLY from the text and
+    never builds a container — a Spark-side parse bug (wrong data
+    offset, padding leak, sample misalignment) cannot cancel out.
+    Container-constant fields (16x16x24, 8000 Hz mono 8-bit) are
+    literals here; the header PARSING itself is pinned by
+    tests/test_media_decode.py against hand-built containers. ASCII is
+    enforced (ord == byte value only then)."""
+    guard = (
+        "CASE WHEN length(text) = strlen(text) THEN text "
+        "ELSE error('media_decode oracle requires ASCII documents: '"
+        " || doc_id) END"
+    )
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id, {guard} AS text
+  FROM documents WHERE doc_id < {limit}),
+bmp_px AS (
+  SELECT media_id,
+    ord(substr(text, CAST((g.i - 1) % length(text) + 1 AS INTEGER), 1)) AS v
+  FROM m, generate_series(1, 768) AS g(i)
+  WHERE media_id % 2 = 0),
+bmp AS (
+  SELECT media_id, 'bmp' AS format, 16 AS dim_a, 16 AS dim_b, 24 AS bits,
+    768 AS n_units, CAST(sum(v) AS BIGINT) AS unit_sum,
+    CAST(min(v) AS INTEGER) AS unit_min, CAST(max(v) AS INTEGER) AS unit_max
+  FROM bmp_px GROUP BY media_id),
+wav_px AS (
+  SELECT media_id, ord(substr(text, CAST(g.i AS INTEGER), 1)) AS v
+  FROM m, generate_series(1, 256) AS g(i)
+  WHERE media_id % 2 = 1 AND g.i <= length(text)),
+wav AS (
+  SELECT media_id, 'wav' AS format, 8000 AS dim_a, 1 AS dim_b, 8 AS bits,
+    CAST(count(*) AS INTEGER) AS n_units, CAST(sum(v) AS BIGINT) AS unit_sum,
+    CAST(min(v) AS INTEGER) AS unit_min, CAST(max(v) AS INTEGER) AS unit_max
+  FROM wav_px GROUP BY media_id)
+SELECT * FROM bmp UNION ALL SELECT * FROM wav"""
+
+
 def events_parsed_sql() -> str:
     return """SELECT event_id, user_id, event_type,
   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

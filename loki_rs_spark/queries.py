@@ -1353,6 +1353,21 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode end to end (round-4 verdict #6): documents
+    become genuine BMP (even doc_id, 16x16 24bpp, text bytes cycled into
+    the pixel array) and PCM WAV (odd doc_id, 8-bit mono, first <=256
+    text bytes as samples) blobs in one mapInPandas, then a second
+    mapInPandas struct-parses the containers back and emits integer-
+    exact payload stats. The oracle recomputes the stats directly from
+    the text (the blob construction is deterministic), so a decode bug —
+    wrong data offset, padding bytes leaking into stats, sample
+    misalignment — breaks the hash match."""
+    from .operators.multimodal import decode_features, synthetic_media_files
+
+    return decode_features(synthetic_media_files(spark, sf_dir, limit=64))
+
+
 def q_events_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The grok/JSON parse stage over the events stream table."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1478,6 +1493,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
+    "media_decode": q_media_decode,
     "events_parsed": q_events_parsed,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -1530,6 +1546,7 @@ def oracle_queries() -> dict[str, str]:
         "embedding_lsh_pairs": o.embedding_lsh_pairs_sql(0.45),
         "tool_type_counts": o.tool_type_counts_sql(rep),
         "media_features": o.media_features_sql(64),
+        "media_decode": o.media_decode_sql(64),
         "media_frames": o.media_frames_sql(64),
         "media_resize": o.media_resize_sql(64),
         "events_parsed": o.events_parsed_sql(),
