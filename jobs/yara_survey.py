@@ -55,7 +55,8 @@ _REASON_BUCKETS = (
     ("legacy globals (entrypoint...)", r"token: 'entrypoint'"),
     ("count/offset on self-overlapping literal", r"self-overlap"),
     ("yara module (pe/elf/... dotted access)", r"syntax at: '\."),
-    ("for-loop / iterators", r"syntax at: ':"),
+    ("for-loop / iterators", r"syntax at: ':|'for' bod|'for' range"
+                              r"|'for' expects|'for' offset bound"),
     ("unknown string modifier", r"modifier"),
     ("uint outside subset", r"uint"),
 )

@@ -206,6 +206,22 @@ class TextOps:
             .astype(bool)
         )
 
+    def from_mask(self, needle: str, nocase: bool, lo: int) -> np.ndarray:
+        """Some occurrence starts at character offset >= lo (the 'for'
+        quantifier's ExistsFrom atom): anchored RE2 with an open-ended
+        codepoint skip."""
+        import pyarrow.compute as pc
+
+        from ..signatures.compile import regex_literal
+
+        flags = "(?s)(?i)" if nocase else "(?s)"
+        pat = f"{flags}^.{{{lo},}}(?:{regex_literal(needle)})"
+        return (
+            pc.fill_null(pc.match_substring_regex(self.arr, pat), False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+
     def length_at_least(self, n: int) -> np.ndarray:
         import pyarrow.compute as pc
 
@@ -309,6 +325,17 @@ class _MaskBackend:
         for i, pos in offsets.items():
             out[i] = cmp_int(node.op, pos, node.value)
         return out
+
+    def exists_from(self, node) -> np.ndarray:
+        s = self.strings_by_ident.get(node.identifier)
+        if s is None or self.text_ops is None:
+            raise RuntimeError(
+                "exists_from without text ops wired"
+            )  # pragma: no cover - engine wires text_ops for these rules
+        return self.text_ops.from_mask(s.pattern, s.nocase, node.lo)
+
+    def bool_lit(self, node) -> np.ndarray:
+        return np.full(self.n_rows, node.value, dtype=bool)
 
     def size_cmp(self, node) -> np.ndarray:
         if self.text_ops is None:

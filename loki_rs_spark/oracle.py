@@ -194,6 +194,15 @@ class _SqlCondBackend:
             f"@{node.identifier[1:]}[{node.index}] has no SQL rendering"
         )
 
+    def exists_from(self, node) -> str:
+        col, needle = self._folded(node.identifier)
+        return (
+            f"(position({_q(needle)} IN substr({col}, {node.lo + 1})) > 0)"
+        )
+
+    def bool_lit(self, node) -> str:
+        return "TRUE" if node.value else "FALSE"
+
     def size_cmp(self, node) -> str:
         # length() = CHARACTER count, the engine-wide length convention
         return f"(length(text) {_SQL_CMP[node.op]} {node.value})"
@@ -514,6 +523,12 @@ def yara_filesize_hits_sql(sigs: SignatureSet, rep: int) -> str:
     from .queries import FILESIZE_RULE_PREFIXES
 
     return _yara_subset_hits_sql(sigs, rep, FILESIZE_RULE_PREFIXES)
+
+
+def yara_for_hits_sql(sigs: SignatureSet, rep: int) -> str:
+    from .queries import FOR_RULE_PREFIXES
+
+    return _yara_subset_hits_sql(sigs, rep, FOR_RULE_PREFIXES)
 
 
 def c2_hits_sql(sigs: SignatureSet, rep: int) -> str:

@@ -475,6 +475,13 @@ class _CatalystCondBackend:
             return eq
         return (F.length(F.col("text")) >= node.offset + node.size) & ~eq
 
+    def exists_from(self, node) -> Column:
+        col, needle = self._folded(node.identifier)
+        return F.locate(needle, col, node.lo + 1) > 0
+
+    def bool_lit(self, node) -> Column:
+        return F.lit(node.value)
+
     def size_cmp(self, node) -> Column:
         length = F.length(F.col("text"))
         return {

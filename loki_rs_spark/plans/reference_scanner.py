@@ -264,6 +264,15 @@ class _RowBackend:
             return False  # out-of-bounds read: yara undefined -> False
         return (window == node.needle) == (node.op == "eq")
 
+    def exists_from(self, node) -> bool:
+        s = self.strings_by_ident[node.identifier]
+        hay = self.text.lower() if s.nocase else self.text
+        needle = s.pattern.lower() if s.nocase else s.pattern
+        return hay.find(needle, node.lo) != -1
+
+    def bool_lit(self, node) -> bool:
+        return node.value
+
     def size_cmp(self, node) -> bool:
         from ..signatures.conditions import cmp_int
 

@@ -194,6 +194,7 @@ EXTVAR_RULE_PREFIXES = ("ExtVar_", "Fullword_")
 COUNT_OFFSET_RULE_PREFIXES = ("Count_", "At_", "In_", "Uint_")
 XOR_B64_RULE_PREFIXES = ("Xor_", "B64_")
 FILESIZE_RULE_PREFIXES = ("Size_",)
+FOR_RULE_PREFIXES = ("For_",)
 
 
 def _yara_rule_subset_hits(
@@ -263,6 +264,16 @@ def q_yara_filesize_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     and AND-ed with string matches; the <-family is covered by
     test-local sets (candidate-gate soundness, see filesize.yar)."""
     return _yara_rule_subset_hits(spark, sf_dir, FILESIZE_RULE_PREFIXES)
+
+
+def q_yara_for_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 'for' offset quantifiers in isolation: the canonical yara-x
+    idiom `for any|all i in (1..#s) : (@s[i] CMP N)` desugared at parse
+    time into at/in/exists-from primitives (conditions.py
+    _desugar_for_offset) — bundled rules cover the gate-safe `for any`
+    direction; `for all` (vacuously true on zero occurrences) is
+    exercised by test-local sets in tests/test_truth_tables.py."""
+    return _yara_rule_subset_hits(spark, sf_dir, FOR_RULE_PREFIXES)
 
 
 def q_c2_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1466,6 +1477,7 @@ QUERIES = {
     "yara_count_offset_hits": q_yara_count_offset_hits,
     "yara_xor_base64_hits": q_yara_xor_base64_hits,
     "yara_filesize_hits": q_yara_filesize_hits,
+    "yara_for_hits": q_yara_for_hits,
     "c2_hits": q_c2_hits,
     "archive_child_matches": q_archive_child_matches,
     "per_conv_rollup": q_per_conv_rollup,
@@ -1520,6 +1532,7 @@ def oracle_queries() -> dict[str, str]:
         "yara_count_offset_hits": o.yara_count_offset_hits_sql(sigs, rep),
         "yara_xor_base64_hits": o.yara_xor_base64_hits_sql(sigs, rep),
         "yara_filesize_hits": o.yara_filesize_hits_sql(sigs, rep),
+        "yara_for_hits": o.yara_for_hits_sql(sigs, rep),
         "c2_hits": o.c2_hits_sql(sigs, rep),
         "archive_child_matches": o.archive_child_matches_sql(sigs, cfg, rep),
         "per_conv_rollup": o.per_conv_rollup_sql(sigs, cfg, rep),

@@ -42,6 +42,12 @@ YaraUnsupportedError at parse time rather than silently misfiring):
     at_in    := 'at' INT | 'in' '(' INT '..' INT ')'
     uint_cmp := ('uint8'|'uint16'|'uint32') '(' INT ')' ('=='|'!=') INT
     size_cmp := 'filesize' CMP INT ('KB'|'MB')?
+    for_off  := 'for' ('all'|'any') VAR 'in' '(' 1 '..' COUNT_ID ')'
+                ':' '(' OFFSET_ID '[' VAR ']' CMP INT ')'
+                -- the canonical yara offset-quantifier idiom; desugars
+                -- at parse time to at/in/exists-from primitives (see
+                -- _desugar_for_offset); 'for all' over zero occurrences
+                -- is vacuously TRUE, as in yara-x
     VAR      := filename | filepath | extension | filetype | owner
     OP       := '==' | '!=' | contains | icontains | startswith |
                 istartswith | endswith | iendswith | iequals | matches
@@ -169,6 +175,23 @@ class InExpr:
 
 
 @dataclass(frozen=True)
+class ExistsFrom:
+    """Internal desugaring atom: some occurrence of the string starts at
+    character offset >= lo. Produced by the 'for' quantifier desugar —
+    never parsed directly."""
+
+    identifier: str
+    lo: int
+
+
+@dataclass(frozen=True)
+class BoolLit:
+    """Constant boolean (degenerate desugar edges, e.g. 'any @ < 0')."""
+
+    value: bool
+
+
+@dataclass(frozen=True)
 class OffsetCmp:
     """'@a[i] CMP N' — the offset of the i-th occurrence (1-based i)
     compared to N; false when there are fewer than i occurrences."""
@@ -273,6 +296,7 @@ _TOKEN_RE = re.compile(
       | (?P<lbracket>\[)
       | (?P<rbracket>\])
       | (?P<dotdot>\.\.)
+      | (?P<colon>:)
       | (?P<comma>,)
       | (?P<int>0[xX][0-9A-Fa-f]+|\d+)
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
@@ -331,6 +355,40 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         if kind is not None:
             tokens.append((kind, m.group(kind)))
     return tokens
+
+
+def _desugar_for_offset(quant: str, ident: str, op: str, n: int):
+    """'for QUANT i in (1..#s) : (@s[i] OP n)' as a boolean combination
+    of existing offset primitives. Every form reduces to existence tests
+    ("some occurrence at offset <= k" = InExpr, ">= k" = ExistsFrom,
+    "== n" = AtExpr), so all five backends support it with ONE new atom.
+    'for all' over zero occurrences is vacuously TRUE (yara-x range
+    (1..0) is empty) — the Not(exists...) forms give exactly that."""
+
+    def exists_le(k: int):
+        return InExpr(ident, 0, k) if k >= 0 else BoolLit(False)
+
+    def exists_ge(k: int):
+        return ExistsFrom(ident, k) if k > 0 else StrRef(ident)
+
+    at = AtExpr(ident, n)
+    if quant == "any":
+        return {
+            "lt": exists_le(n - 1),
+            "le": exists_le(n),
+            "gt": exists_ge(n + 1),
+            "ge": exists_ge(n),
+            "eq": at,
+            "ne": OrExpr((exists_le(n - 1), exists_ge(n + 1))),
+        }[op]
+    return {
+        "lt": Not(exists_ge(n)),
+        "le": Not(exists_ge(n + 1)),
+        "gt": Not(exists_le(n)),
+        "ge": Not(exists_le(n - 1)),
+        "eq": Not(OrExpr((exists_le(n - 1), exists_ge(n + 1)))),
+        "ne": Not(at),
+    }[op]
 
 
 class _Parser:
@@ -534,6 +592,69 @@ class _Parser:
             return UintCmp(
                 size, offset, INT_CMPS[op_val], "".join(chr(b) for b in hay)
             )
+        if kind == "word" and val == "for":
+            qk, quant = self.next()
+            if (qk, quant) not in (("word", "all"), ("word", "any")):
+                raise YaraUnsupportedError(
+                    f"'for' supports only all/any quantifiers, got {quant!r}"
+                )
+            vk, var = self.next()
+            if vk != "word":
+                raise YaraUnsupportedError(
+                    f"'for' expects a loop variable, got {var!r}"
+                )
+            if self.next() != ("word", "in"):
+                raise YaraUnsupportedError("'for' expects 'in (1..#s)'")
+            if self.next()[0] != "lpar":
+                raise YaraUnsupportedError("'for' expects 'in (1..#s)'")
+            k1, v1 = self.next()
+            if k1 != "int" or _to_int(v1) != 1:
+                raise YaraUnsupportedError(
+                    "'for' ranges other than (1..#s) are not supported"
+                )
+            if self.next()[0] != "dotdot":
+                raise YaraUnsupportedError("'for' expects 'in (1..#s)'")
+            ck, cv = self.next()
+            if ck != "count_id":
+                raise YaraUnsupportedError(
+                    "'for' ranges other than (1..#s) are not supported"
+                )
+            ident = "$" + cv[1:]
+            if self.next()[0] != "rpar":
+                raise YaraUnsupportedError("unbalanced 'for' range")
+            if self.next()[0] != "colon":
+                raise YaraUnsupportedError("'for' expects ': ( ... )'")
+            if self.next()[0] != "lpar":
+                raise YaraUnsupportedError("'for' expects ': ( ... )'")
+            ok_, ov = self.next()
+            if ok_ != "offset_id" or "$" + ov[1:] != ident:
+                raise YaraUnsupportedError(
+                    "'for' bodies other than '@s[i] CMP INT' over the "
+                    "range's own string are not supported"
+                )
+            if self.next()[0] != "lbracket":
+                raise YaraUnsupportedError("'for' body expects '@s[i]'")
+            ik, iv = self.next()
+            if (ik, iv) != ("word", var):
+                raise YaraUnsupportedError(
+                    f"'@' index must be the loop variable {var!r}"
+                )
+            if self.next()[0] != "rbracket":
+                raise YaraUnsupportedError("unbalanced '@' index")
+            cmp_k, cmp_v = self.next()
+            if cmp_k != "cmp":
+                raise YaraUnsupportedError(
+                    "'for' body expects a comparison operator"
+                )
+            nk, nv = self.next()
+            if nk != "int":
+                raise YaraUnsupportedError(
+                    "'for' body compares against an integer"
+                )
+            n = _to_int(nv)
+            if self.next()[0] != "rpar":
+                raise YaraUnsupportedError("unbalanced 'for' body")
+            return _desugar_for_offset(quant, ident, INT_CMPS[cmp_v], n)
         if kind == "word" and val == "filesize":
             op_kind, op_val = self.next()
             if op_kind != "cmp":
@@ -598,7 +719,9 @@ def collect_of_terms(node) -> list[OfThem]:
 def condition_uses_strings(node) -> bool:
     """Does the condition reference DEFINED strings (so the rule must
     declare some)? UintCmp reads the text directly and needs none."""
-    if isinstance(node, (OfThem, StrRef, CountCmp, AtExpr, InExpr, OffsetCmp)):
+    if isinstance(
+        node, (OfThem, StrRef, CountCmp, AtExpr, InExpr, OffsetCmp, ExistsFrom)
+    ):
         return True
     if isinstance(node, Not):
         return condition_uses_strings(node.operand)
@@ -608,8 +731,9 @@ def condition_uses_strings(node) -> bool:
 
 
 def collect_string_op_nodes(node) -> list:
-    """Every CountCmp/AtExpr/InExpr/OffsetCmp node in a condition."""
-    if isinstance(node, (CountCmp, AtExpr, InExpr, OffsetCmp)):
+    """Every CountCmp/AtExpr/InExpr/OffsetCmp/ExistsFrom node in a
+    condition."""
+    if isinstance(node, (CountCmp, AtExpr, InExpr, OffsetCmp, ExistsFrom)):
         return [node]
     if isinstance(node, Not):
         return collect_string_op_nodes(node.operand)
@@ -684,6 +808,11 @@ def validate_condition_ops(rule_name: str, strings, ast) -> None:
             raise YaraUnsupportedError(
                 f"rule {rule_name}: {kind} compares against a negative value"
             )
+        if isinstance(node, ExistsFrom) and node.lo > 1000:
+            raise YaraUnsupportedError(
+                f"rule {rule_name}: 'for' offset bound {node.lo} exceeds "
+                "the supported 1000 (RE2 bounded-repetition cap)"
+            )
         if isinstance(node, InExpr) and node.hi > 1000:
             # the pyarrow backend renders 'in' as an RE2 '^.{lo,hi}'
             # anchor and RE2 caps bounded repetition at 1000
@@ -734,8 +863,12 @@ def condition_negates_strings(node, neg: bool = False) -> bool:
       Unsafe when the effective blanked value (A, flipped by odd nots) is
       True: a row whose real count fails the comparison would falsely
       fire once blanked (e.g. `#a < 5` with real count 7)."""
-    if isinstance(node, (OfThem, StrRef, AtExpr, InExpr, OffsetCmp, UintCmp)):
+    if isinstance(
+        node, (OfThem, StrRef, AtExpr, InExpr, OffsetCmp, UintCmp, ExistsFrom)
+    ):
         return neg
+    if isinstance(node, BoolLit):
+        return False  # constant: blanking cannot flip it
     if isinstance(node, (CountCmp, SizeCmp)):
         # blank text has count 0 / length 0; the node evaluates to the
         # constant cmp(0, value) on blanked rows
@@ -776,4 +909,8 @@ def render_condition(node, backend):
         return backend.uint_cmp(node)
     if isinstance(node, SizeCmp):
         return backend.size_cmp(node)
+    if isinstance(node, ExistsFrom):
+        return backend.exists_from(node)
+    if isinstance(node, BoolLit):
+        return backend.bool_lit(node)
     raise YaraUnsupportedError(f"unknown AST node: {node!r}")

@@ -150,14 +150,35 @@ rule REJ_PE_Module {
         pe.is_pe and pe.number_of_sections > 8
 }
 
-rule REJ_For_Loop {
+rule SUSP_For_All_Window {
     meta:
-        description = "for..of iterator — outside the declarative subset"
+        description = "canonical for-all offset idiom (every occurrence in the leading window) — desugars to NOT exists-from"
+        score = 60
+    strings:
+        $s1 = "section"
+    condition:
+        for all i in (1..#s1) : ( @s1[i] < 512 )
+}
+
+rule REJ_For_Bound_Cap {
+    meta:
+        description = "for-all offset bound beyond the RE2 bounded-repetition cap (1000)"
         score = 60
     strings:
         $s1 = "section"
     condition:
         for all i in (1..#s1) : ( @s1[i] < 2048 )
+}
+
+rule REJ_For_General_Body {
+    meta:
+        description = "general for-body (cross-string comparison) — outside the canonical offset idiom"
+        score = 60
+    strings:
+        $s1 = "alpha"
+        $s2 = "omega"
+    condition:
+        for all i in (1..#s1) : ( @s1[i] < @s2[i] )
 }
 
 rule REJ_Entrypoint {

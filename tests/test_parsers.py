@@ -183,6 +183,8 @@ def test_bundled_corpus_loads():
         "Size_Beacon_Min_Window",
         "Size_Exact_Replaced_Payload",
         "Size_KB_Suffix_Floor",
+        "For_Any_Late_Marker",
+        "For_Any_Window_Banner",
         "Xor_Hidden_Marker",
         "Xor_Single_Key",
         "B64_Exfil_Marker",

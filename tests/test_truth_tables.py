@@ -1037,3 +1037,81 @@ def test_filesize_parse_rejections():
     assert parse_condition("filesize > 2KB").value == 2048
     assert parse_condition("filesize > 1MB").value == 1 << 20
     assert parse_condition("filesize > 0x10").value == 16
+
+
+# ---- 'for' offset quantifiers (canonical yara-x idiom, desugared) --------
+
+
+@pytest.mark.parametrize(
+    "condition,text,hit",
+    [
+        # for all: every occurrence of 'mk' starts before offset 6
+        ("for all i in (1..#s) : ( @s[i] < 6 )", "mk....mk..", False),
+        ("for all i in (1..#s) : ( @s[i] < 6 )", "mk...mk...", True),
+        # vacuous truth on ZERO occurrences (yara-x: range (1..0) empty)
+        ("for all i in (1..#s) : ( @s[i] < 6 )", "nothing here", True),
+        ("for all i in (1..#s) : ( @s[i] > 3 )", "....mk....", True),
+        ("for all i in (1..#s) : ( @s[i] > 3 )", "mk..mk....", False),
+        ("for all i in (1..#s) : ( @s[i] == 4 )", "....mk....", True),
+        ("for all i in (1..#s) : ( @s[i] == 4 )", "mk..mk....", False),
+        ("for all i in (1..#s) : ( @s[i] != 0 )", "..mk......", True),
+        ("for all i in (1..#s) : ( @s[i] != 0 )", "mk........", False),
+        # for any: some occurrence in/after the window
+        ("for any i in (1..#s) : ( @s[i] > 4 )", "mk...mk...", True),
+        ("for any i in (1..#s) : ( @s[i] > 4 )", "mk........", False),
+        ("for any i in (1..#s) : ( @s[i] > 4 )", "no markers", False),
+        ("for any i in (1..#s) : ( @s[i] <= 1 )", ".mk.......", True),
+        ("for any i in (1..#s) : ( @s[i] <= 1 )", "..mk......", False),
+        ("for any i in (1..#s) : ( @s[i] == 2 )", "..mk......", True),
+        ("for any i in (1..#s) : ( @s[i] != 2 )", "..mk......", False),
+        ("for any i in (1..#s) : ( @s[i] != 2 )", "..mk..mk..", True),
+    ],
+)
+def test_for_quantifier_truth_table(spark, condition, text, hit):
+    sigs = _yara_sigs([YaraString("$s", "mk")], condition)
+    ref = scan_turn("c0", 0, text, "tool-x", sigs, CFG)
+    assert (ref is not None) == hit
+
+
+def test_for_all_pipeline_matches_reference(spark):
+    """for-all through the full arrow pipeline (non-monotone: vacuous
+    truth means blanked rows could falsely fire, so the pandas gate is
+    disabled for such sets — arrow matches on raw text regardless)."""
+    sigs = _yara_sigs(
+        [YaraString("$s", "mk")], "for all i in (1..#s) : ( @s[i] < 6 )"
+    )
+    rows = [
+        ("mk...mk...", "t0"),  # occurrences at 0 and 5, both < 6 -> fires
+        ("mk....mk..", "t1"),  # occurrence at 6 -> no
+        ("no markers", "t2"),  # vacuous -> fires
+    ]
+    got = _routed_levels(spark, rows, sigs)
+    assert 0 in got and 2 in got and 1 not in got
+
+
+def test_for_parse_rejections():
+    from loki_rs_spark.signatures.conditions import (
+        YaraUnsupportedError,
+        parse_condition,
+    )
+
+    for cond in (
+        "for all i in (0..#s) : ( @s[i] < 6 )",  # non-(1..#s) range
+        "for all i in (1..5) : ( @s[i] < 6 )",  # int upper bound
+        "for 2 i in (1..#s) : ( @s[i] < 6 )",  # numeric quantifier
+        "for all i in (1..#s) : ( @t[i] < 6 )",  # different string
+        "for all i in (1..#s) : ( @s[j] < 6 )",  # wrong loop var
+        "for all i in (1..#s) : ( @s[i] < @s[i] )",  # non-int rhs
+    ):
+        with pytest.raises(YaraUnsupportedError):
+            parse_condition(cond)
+    # the RE2 bounded-repetition cap fires at RULE load (validation needs
+    # the string table), not at condition parse
+    from loki_rs_spark.signatures.parsers import parse_yara_rules
+
+    rule = (
+        'rule R {\n  strings:\n    $s = "mk"\n  condition:\n'
+        "    for all i in (1..#s) : ( @s[i] < 2048 )\n}"
+    )
+    with pytest.raises(YaraUnsupportedError, match="exceeds"):
+        parse_yara_rules(rule)
