@@ -44,7 +44,7 @@ _REASON_BUCKETS = (
     ("private rule semantics", r"'(?:private|global) rule'"),
     ("modifier combo (xor/base64 with nocase etc.)",
      r"'xor' only supported|'base64'/'base64wide' only supported"),
-    ("custom base64 alphabet", r"unsupported modifier 'base64"),
+    ("invalid base64 alphabet", r"base64 alphabet"),
     ("byte >= 0x80 / NUL (text-column model)", r">= 0x80|0x01-0x7f|NUL"),
     ("regex outside shared dialect", r"look(?:ahead|behind)|backreference"
                                      r"|regex|\\\\[0-9]"),

@@ -56,7 +56,12 @@ def xor_variants(pattern: str, lo: int, hi: int) -> list[str]:
     return out
 
 
-def base64_variants(pattern: str) -> list[str]:
+_STD_B64 = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+)
+
+
+def base64_variants(pattern: str, alphabet: str | None = None) -> list[str]:
     """The three base64 alignments of an ASCII literal (yara `base64`
     modifier, as compiled by yara-x — the reference pulls yara-x 1.12,
     Cargo.toml:35): encode with k = 0..2 leading pad bytes, strip '='
@@ -64,15 +69,22 @@ def base64_variants(pattern: str) -> list[str]:
     encode preceding-stream bits. Trailing chars are kept even when
     partially padding-determined — yara's documented behavior (its
     writingrules example for "This program cannot" keeps the trailing
-    'A'), reproduced verbatim so match parity holds."""
+    'A'), reproduced verbatim so match parity holds.
+
+    A custom 64-char `alphabet` (yara base64("...")) is a positional
+    re-mapping of the standard one, so variants are computed on the
+    standard alphabet and translated — identical trim behavior."""
     import base64 as _b64
 
     data = pattern.encode("ascii")
     lead_trim = {0: 0, 1: 2, 2: 3}
+    table = str.maketrans(_STD_B64, alphabet) if alphabet else None
     out = []
     for k in range(3):
         enc = _b64.b64encode(b"\x00" * k + data).decode("ascii").rstrip("=")
         variant = enc[lead_trim[k]:]
+        if table:
+            variant = variant.translate(table)
         if variant:
             out.append(variant)
     return out
@@ -297,6 +309,17 @@ def validate_string(s: YaraString) -> None:
             raise YaraUnsupportedError(
                 f"'base64' literals must be >= 3 bytes (yara rule){ctx}"
             )
+        if s.base64_alphabet is not None:
+            a = s.base64_alphabet
+            if len(a) != 64 or len(set(a)) != 64:
+                raise YaraUnsupportedError(
+                    f"base64 alphabet must be 64 distinct chars{ctx}"
+                )
+            if any(not (0x01 <= ord(c) <= 0x7F) for c in a):
+                raise YaraUnsupportedError(
+                    f"base64 alphabet chars outside 0x01-0x7f cannot "
+                    f"match a text column{ctx}"
+                )
         return
     if s.wide and s.is_regex:
         raise YaraUnsupportedError(f"'wide' on regex strings{ctx}")
@@ -318,9 +341,9 @@ def _core_forms(s: YaraString) -> list[str]:
             regex_literal(v)
             for v in xor_variants(s.pattern, s.xor_min, s.xor_max)
         ]
-    if s.base64_mod or s.base64wide:
+    if s.base64_mod or s.base64wide:  # custom alphabet handled inside
         forms = []
-        for v in base64_variants(s.pattern):
+        for v in base64_variants(s.pattern, s.base64_alphabet):
             if s.base64_mod:
                 forms.append(regex_literal(v))
             if s.base64wide:

@@ -58,6 +58,9 @@ class YaraString:
     # (and/or their UTF-16LE-interleaved forms for base64wide)
     base64_mod: bool = False
     base64wide: bool = False
+    # yara base64("...64 chars...") custom alphabet (None = standard);
+    # applies to base64 and base64wide alike, as in yara
+    base64_alphabet: str | None = None
 
 
 @dataclass(frozen=True)

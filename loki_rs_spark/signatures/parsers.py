@@ -347,16 +347,39 @@ _XOR_MOD_RE = re.compile(
 )
 
 
+_B64_ARG_RE = re.compile(
+    r'base64(?P<wide>wide)?\s*\(\s*(?P<arg>"(?:[^"\\]|\\.)*")\s*\)'
+)
+
+
 def _parse_modifiers(raw: str, rule: str, ident: str) -> dict:
     """Parse the modifier tail of a string definition. Unknown modifiers
     RAISE (the reference compiles full yara-x, so silently dropping a
     modifier here would silently change match semantics). `xor` accepts
     yara's forms: bare (keys 0x00-0xff), xor(K) (single key), and
-    xor(LO-HI); base64/base64wide take no custom-alphabet argument
-    (rejected loudly — yara-x supports base64("..."), this subset
-    does not)."""
-    tokens = _strip_comments(raw).split()
+    xor(LO-HI); base64/base64wide accept yara's custom-alphabet argument
+    base64("...64 chars...") — a positional re-mapping validated at load
+    (64 distinct chars, 0x01-0x7f)."""
+    raw = _strip_comments(raw)
     out = {"nocase": False, "fullword": False, "wide": False}
+    # extract quoted custom-alphabet forms BEFORE whitespace-splitting
+    # (the alphabet may contain spaces/tabs via escapes)
+    alphabets: list[str] = []
+
+    def _take_b64(m: re.Match) -> str:
+        alphabets.append(_unquote(m.group("arg")))
+        out["base64wide" if m.group("wide") else "base64_mod"] = True
+        return " "
+
+    raw = _B64_ARG_RE.sub(_take_b64, raw)
+    if alphabets:
+        if len(set(alphabets)) > 1:
+            raise YaraUnsupportedError(
+                f"rule {rule}, string {ident}: base64/base64wide with "
+                "different custom alphabets"
+            )
+        out["base64_alphabet"] = alphabets[0]
+    tokens = raw.split()
     explicit_ascii = False
     for tok in tokens:
         if tok == "ascii":

@@ -159,12 +159,22 @@ rule REJ_Xor_Nocase_Combo {
         $s1
 }
 
-rule REJ_Base64_Custom_Alphabet {
+rule SUSP_Base64_Custom_Alphabet {
     meta:
-        description = "base64 with custom alphabet — subset rejects"
+        description = "base64 with a custom 64-char alphabet — positional remap of the standard encoding, supported"
         score = 70
     strings:
         $s1 = "payload" base64("!@#$%^&*(){}[].,|ABCDEFGHIJ\x09LMNOPQRSTUVWXYZabcdefghijklmnopqrstu")
+    condition:
+        $s1
+}
+
+rule REJ_Base64_Bad_Alphabet {
+    meta:
+        description = "base64 alphabet that is not 64 distinct chars — rejected at load"
+        score = 70
+    strings:
+        $s1 = "payload" base64("AAAA")
     condition:
         $s1
 }

@@ -171,3 +171,68 @@ def test_short_base64_literal_raises():
 def test_all_high_byte_xor_range_raises():
     with pytest.raises(YaraUnsupportedError):
         validate_string(YaraString("$a", "AB", xor_min=0xC0, xor_max=0xC1))
+
+
+# ---- custom base64 alphabets (yara base64("...") argument) ---------------
+
+CUSTOM_ALPHA = (
+    "!@#$%^&*(){}[].,|ABCDEFGHIJ\tLMNOPQRSTUVWXYZabcdefghijklmnopqrstu"
+)
+
+
+def test_custom_alphabet_variants_are_positional_remaps():
+    std = base64_variants("This program cannot")
+    custom = base64_variants("This program cannot", CUSTOM_ALPHA)
+    table = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/",
+        CUSTOM_ALPHA,
+    )
+    assert custom == [v.translate(table) for v in std]
+    assert len(custom) == 3
+
+
+def test_custom_alphabet_matches_encoded_stream():
+    """A stream encoded WITH the custom alphabet fires the custom rule
+    and not the standard one (and vice versa)."""
+    import base64 as b64
+    import re as _re
+
+    table = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/",
+        CUSTOM_ALPHA,
+    )
+    payload = b"This program cannot"
+    enc_custom = b64.b64encode(payload).decode().rstrip("=").translate(table)
+    std_s = YaraString("$a", "This program cannot", base64_mod=True)
+    cus_s = YaraString(
+        "$a", "This program cannot", base64_mod=True,
+        base64_alphabet=CUSTOM_ALPHA,
+    )
+    stream = f"prefix {enc_custom} suffix"
+    assert _re.search(boolean_regex(cus_s, "re2"), stream)
+    assert not _re.search(boolean_regex(std_s, "re2"), stream)
+
+
+def test_custom_alphabet_parse_and_rejections():
+    import pytest as _pytest
+
+    rules = parse_yara_rules(
+        'rule R {\n  strings:\n    $a = "payload" '
+        'base64("' + CUSTOM_ALPHA.replace("\t", "\\t") + '")\n'
+        "  condition:\n    $a\n}"
+    )
+    assert rules[0].strings[0].base64_alphabet == CUSTOM_ALPHA
+    with _pytest.raises(YaraUnsupportedError, match="64 distinct"):
+        parse_yara_rules(
+            'rule R {\n  strings:\n    $a = "payload" base64("AAAA")\n'
+            "  condition:\n    $a\n}"
+        )
+    # mismatched alphabets between base64 and base64wide
+    a2 = CUSTOM_ALPHA[1:] + CUSTOM_ALPHA[0]
+    with _pytest.raises(YaraUnsupportedError, match="different custom"):
+        parse_yara_rules(
+            'rule R {\n  strings:\n    $a = "payload" '
+            'base64("' + CUSTOM_ALPHA.replace("\t", "\\t") + '") '
+            'base64wide("' + a2.replace("\t", "\\t") + '")\n'
+            "  condition:\n    $a\n}"
+        )
