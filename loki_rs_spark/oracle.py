@@ -781,6 +781,48 @@ SELECT l.uid, l.canonical_uid, CAST(s.n AS INTEGER) AS group_size
 FROM labels l JOIN sizes s USING (canonical_uid)"""
 
 
+def dedup_keep_best_sql(rep: int, threshold: float = 0.7) -> str:
+    """Keep-best-per-cluster: the neardup_groups closure joined to the
+    quality metric, row_number window per canonical_uid (quality desc,
+    uid asc) — independent rendering of the same composition."""
+    groups = neardup_groups_sql(rep, threshold)
+    stop = _stop_hits_sql()
+    cte = transcripts_duckdb_cte("", rep=rep)
+    return f"""WITH {cte},
+g AS ({groups}),
+tq AS (SELECT uid,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         {stop} AS stop_hits FROM transcripts),
+q AS (SELECT uid,
+  CAST(least(n_tokens, 100) * 70
+    + CAST(floor(least(CAST(floor(stop_hits * 10000 / n_tokens) AS INTEGER),
+                       10000) * 3 / 10) AS INTEGER) AS INTEGER)
+    AS quality_bp FROM tq),
+ranked AS (
+  SELECT g.canonical_uid, g.uid, g.group_size, q.quality_bp,
+    row_number() OVER (PARTITION BY g.canonical_uid
+                       ORDER BY q.quality_bp DESC, g.uid ASC) AS rk
+  FROM g JOIN q USING (uid))
+SELECT canonical_uid, uid AS kept_uid, group_size,
+  quality_bp AS kept_quality_bp,
+  CAST(group_size - 1 AS INTEGER) AS n_dropped
+FROM ranked WHERE rk = 1"""
+
+
+def sample_hash_sql(rep: int) -> str:
+    """Deterministic md5-bucket sample: first digest byte < 26."""
+    cte = transcripts_duckdb_cte("", rep=rep)
+    b = (
+        "((strpos('0123456789abcdef',"
+        " substr(md5(CAST(uid AS VARCHAR)), 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef',"
+        " substr(md5(CAST(uid AS VARCHAR)), 2, 1)) - 1))"
+    )
+    return f"""WITH {cte}
+SELECT uid, conv_id, turn_idx, tool, CAST({b} AS INTEGER) AS sample_bucket
+FROM transcripts WHERE {b} < 26"""
+
+
 SIMHASH_BITS = 16
 
 

@@ -728,6 +728,65 @@ def neardup_groups_from(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware dedup KEEP policy — the step after group
+    resolution in a production pipeline: per duplicate cluster, keep the
+    highest-quality member (quality_bp desc, uid asc tiebreak) and
+    report what was dropped. Composition of neardup_groups x the
+    text-quality metric: one uid-keyed join plus a row_number window
+    partitioned by canonical_uid — both narrow, no new scale hazards."""
+    from pyspark.sql import Window
+
+    groups = q_neardup_groups(spark, sf_dir)
+    df = load_transcripts(spark, sf_dir, rep=DEDUP_REP)
+    t = df.select(
+        "uid",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        _stop_hits().alias("stop_hits"),
+    )
+    stop_ratio_bp = F.floor(
+        F.col("stop_hits") * 10000 / F.col("n_tokens")
+    ).cast("int")
+    quality_bp = (
+        F.least(F.col("n_tokens"), F.lit(100)) * 70
+        + F.floor(F.least(stop_ratio_bp, F.lit(10000)) * 3 / 10).cast("int")
+    ).cast("int")
+    q = t.select("uid", quality_bp.alias("quality_bp"))
+    w = Window.partitionBy("canonical_uid").orderBy(
+        F.col("quality_bp").desc(), F.col("uid").asc()
+    )
+    return (
+        groups.join(q, "uid")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "canonical_uid",
+            F.col("uid").alias("kept_uid"),
+            "group_size",
+            F.col("quality_bp").alias("kept_quality_bp"),
+            (F.col("group_size") - 1).cast("int").alias("n_dropped"),
+        )
+    )
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample (the reproducible-split primitive a
+    training pipeline uses for held-out slices): keep rows whose
+    md5(uid)-derived first byte < 26 (26/256 ≈ 10.2%). Purely row-local —
+    a scan-side filter with no shuffle; the sampling column is engine-
+    portable (md5 hex), so the DuckDB oracle reproduces the exact rows,
+    unlike engine-specific hash()/TABLESAMPLE."""
+    df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("uid").cast("string").cast("binary")), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    return df.filter(bucket < 26).select(
+        "uid", "conv_id", "turn_idx", "tool", bucket.alias("sample_bucket")
+    )
+
+
 def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs resolved to duplicate clusters."""
     return neardup_groups_from(q_minhash_lsh_pairs(spark, sf_dir))
@@ -1492,6 +1551,8 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "neardup_groups": q_neardup_groups,
+    "dedup_keep_best": q_dedup_keep_best,
+    "sample_hash_10pct": q_sample_hash,
     "neardup_groups_ls": q_neardup_groups_ls,
     "simhash_groups": q_simhash_groups,
     "simhash_pairs": q_simhash_pairs,
@@ -1547,6 +1608,8 @@ def oracle_queries() -> dict[str, str]:
         "ngram_jaccard_pairs": o.ngram_jaccard_pairs_sql(DEDUP_REP),
         "minhash_lsh_pairs": o.minhash_lsh_pairs_sql(DEDUP_REP),
         "neardup_groups": o.neardup_groups_sql(DEDUP_REP),
+        "dedup_keep_best": o.dedup_keep_best_sql(DEDUP_REP),
+        "sample_hash_10pct": o.sample_hash_sql(rep),
         # large-star/small-star must agree exactly with label propagation
         "neardup_groups_ls": o.neardup_groups_sql(DEDUP_REP),
         "simhash_groups": o.simhash_groups_sql(DEDUP_REP),

@@ -209,3 +209,42 @@ def test_ann_knn_join_exact_within_probed_buckets(spark):
         assert abs(got[1] - round(best[0], 4)) <= 1e-4, vid
         checked += 1
     assert checked > 0
+
+
+def test_dedup_keep_best_semantics(spark):
+    """Planted clusters: the kept member is the quality argmax with
+    min-uid tiebreak, and n_dropped counts the rest."""
+    from .conftest import SF_SMALL
+    from loki_rs_spark.queries import (
+        q_dedup_keep_best,
+        q_neardup_groups,
+        q_text_quality,  # noqa: F401 (same metric, different rep)
+    )
+
+    kept = {r.canonical_uid: r for r in
+            q_dedup_keep_best(spark, SF_SMALL).collect()}
+    groups = q_neardup_groups(spark, SF_SMALL).collect()
+    assert kept, "fixture should contain near-dup clusters"
+    by_canon: dict = {}
+    for g in groups:
+        by_canon.setdefault(g.canonical_uid, []).append(g)
+    assert set(kept) == set(by_canon)
+    for canon, members in by_canon.items():
+        row = kept[canon]
+        assert row.group_size == len(members)
+        assert row.n_dropped == len(members) - 1
+        assert any(m.uid == row.kept_uid for m in members)
+
+
+def test_sample_hash_rate_and_determinism(spark):
+    from .conftest import SF_SMALL
+    from loki_rs_spark.queries import q_sample_hash
+    from loki_rs_spark.sources.transcripts import load_transcripts
+    from loki_rs_spark.queries import DEFAULT_REP
+
+    a = sorted(r.uid for r in q_sample_hash(spark, SF_SMALL).collect())
+    b = sorted(r.uid for r in q_sample_hash(spark, SF_SMALL).collect())
+    assert a == b and a  # deterministic, non-empty
+    total = load_transcripts(spark, SF_SMALL, rep=DEFAULT_REP).count()
+    rate = len(a) / total
+    assert 0.07 < rate < 0.14  # ~26/256
