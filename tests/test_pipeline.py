@@ -146,3 +146,24 @@ def test_below_threshold_dropped(spark, transcripts, sigs, expected_rows):
         if r["n_reasons"] == 1:  # only the lowrisk reason
             assert r["level"] is None
             assert (r["conv_id"], r["turn_idx"]) not in expected_rows
+
+
+def test_scan_routed_plan_invariants(spark, tmp_path):
+    """Pins the plan shape PLANS.md claims for the production scan: the
+    stored-table scan keeps filters pushed to parquet, exactly ONE
+    python boundary, every dimension side broadcast, and ZERO
+    hash-partitioning data shuffles between scan and routed."""
+    from loki_rs_spark.plans.pipeline import scan_transcripts
+    from loki_rs_spark.queries import bundled_signatures
+    from loki_rs_spark.sources.transcripts import materialized_transcripts
+
+    t = materialized_transcripts(
+        spark, SF_SMALL, rep=4, base_dir=str(tmp_path)
+    )
+    routed = scan_transcripts(spark, t, bundled_signatures()).routed
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "PushedFilters: [IsNotNull(tool)]" in plan
+    assert plan.count("BroadcastExchange") == 4  # FP anti + 3 hash dims
+    assert "LeftAnti" in plan  # FP anti-join upstream of the UDF
