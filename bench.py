@@ -853,6 +853,10 @@ def _time_queries(spark) -> dict[str, float]:
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
         "neardup_groups",
+        "neardup_groups_ls",
+        "dedup_keep_best",
+        "sample_hash_10pct",
+        "media_decode",
         "simhash_pairs",
         "ann_cosine_topk",
         "ann_ivf_topk",
@@ -864,7 +868,9 @@ def _time_queries(spark) -> dict[str, float]:
     for name in names:
         if _cpu_speed() < 0.75 * CANONICAL_CPU_MBS:
             _wait_for_idle()
-        if name == "neardup_groups":
+        if name in (
+            "neardup_groups", "neardup_groups_ls", "dedup_keep_best"
+        ):
             # iterative op: the label-propagation rounds run as driver-loop
             # actions while BUILDING the frame (localCheckpoint per round),
             # so honest timing is build + materialize per pass
