@@ -552,6 +552,16 @@ class _PairServer:
                 self.proc.kill()
 
 
+# hard wall-clock budget for the whole gate phase: a catastrophically
+# throttled host (observed: single 8-leg runs crawling 50-170s) must
+# degrade to fewer pairs rather than blow the driver's bench timeout.
+# The check is OUTCOME-INDEPENDENT (pure wall clock), so it introduces
+# no optional-stopping bias.
+GATE_PHASE_BUDGET_SEC = float(
+    os.environ.get("SPARK_GRAFT_GATE_BUDGET", "1500")
+)
+
+
 def _paired_gate_legs(
     n_pairs: int = 6, max_extra: int = 4
 ) -> tuple[dict, dict, float, list[dict], dict]:
@@ -725,15 +735,27 @@ def _paired_gate_legs(
                 p["qualified"] = bool(p["qualified"] and usable)
 
         # FIXED sample size: every one of the n_pairs runs regardless of
-        # the interim efficiency values (no outcome-dependent stopping)
+        # the interim efficiency values (no outcome-dependent stopping;
+        # the only early exit is the outcome-independent wall-clock
+        # budget, for hosts where throttled runs crawl 10-40x)
+        phase_deadline = time.time() + GATE_PHASE_BUDGET_SEC
         for i in range(n_pairs):
+            if time.time() >= phase_deadline and len(pairs) >= 2:
+                print(
+                    f"  gate phase budget exhausted after {len(pairs)} "
+                    "pairs; stopping early (wall-clock criterion only)",
+                    file=sys.stderr,
+                )
+                break
             run_pair(i, 150.0)
         # extras are triggered ONLY by measurement validity (fewer than
         # 3 qualified pairs) behind longer credit waits — a criterion
         # independent of the efficiency values themselves
         extra = 0
         while (
-            sum(p["qualified"] for p in pairs) < 3 and extra < max_extra
+            sum(p["qualified"] for p in pairs) < 3
+            and extra < max_extra
+            and time.time() < phase_deadline
         ):
             run_pair(len(pairs), 240.0)
             extra += 1
