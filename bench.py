@@ -362,12 +362,18 @@ def _scan_worker(master: str, sf_dir: str, rep: int) -> None:
     # latency that the scaling ratio is sensitive to.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     sigs = bundled_signatures()
+    # matcher variant for the 8->32 decomposition A/B (r5 verdict #3):
+    # 'catalyst' runs the same pipeline with zero Python boundary, so
+    # comparing its 8->32 ratio against the arrow path isolates whether
+    # the Arrow bridge or the memory bus is the single-box ceiling
+    matcher = os.environ.get("SPARK_GRAFT_MATCHER", "arrow")
     transcripts = materialized_transcripts(spark, sf_dir, rep=rep)
-    result = scan_transcripts(spark, transcripts, sigs)
+    result = scan_transcripts(spark, transcripts, sigs, matcher=matcher)
     small = scan_transcripts(
         spark,
         materialized_transcripts(spark, sf_dir, rep=GATE_REP_SMALL),
         sigs,
+        matcher=matcher,
     )
     n_turns = result.scanned.count()  # cheap: no UDF in this subplan
     n_turns_small = small.scanned.count()
@@ -569,8 +575,13 @@ def _paired_gate_legs(
 
     Returns (r2, r8, eff_2_8, pairs, gate_summary); r2/r8 are shaped like
     _best_scan results but carry MARGINAL quantities (turns delta over
-    work-time delta). Efficiency is the MEDIAN of per-pair marginal
-    efficiencies over QUALIFIED pairs. Design, one defense per hazard:
+    work-time delta). The HEADLINE efficiency is the MEDIAN of per-pair
+    RAW (uncorrected) ratios over QUALIFIED pairs — conservative by
+    construction (fixed per-pass cost hits the faster 8-leg relatively
+    harder, so raw under-states scaling); the marginal median is kept as
+    an auxiliary diagnostic in gate_summary because its fixed-cost
+    estimate is noisy enough to push the ratio past 1.0.
+    Design, one defense per hazard:
 
     * Whole-window slowdown: cancels inside each pair (both legs sample
       the same window); pass order alternates 2-first / 8-first so drift
@@ -774,17 +785,22 @@ def _paired_gate_legs(
                 q, fallback = usable, "best_parity_half"
             else:  # noise swallowed every work margin: raw ratios only
                 fallback = "best_parity_half_raw"
-        eff = statistics.median(
+        eff_marginal = statistics.median(
             p["eff_raw" if fallback == "best_parity_half_raw" else "eff"]
             for p in q
         )
+        # HEADLINE is the RAW (uncorrected) median: the marginal basis
+        # subtracts a noisy fixed-cost estimate that can push the ratio
+        # past 1.0 (physically super-linear reads as over-correction —
+        # r5 verdict). Raw is conservative and already clears the gate;
+        # marginal stays as an auxiliary diagnostic.
+        eff = statistics.median(p["eff_raw"] for p in q)
         gate_summary = {
             "n_pairs": len(pairs),
             "n_qualified": sum(p["qualified"] for p in pairs),
-            "eff_marginal_median": round(eff, 3),
-            "eff_raw_median": round(
-                statistics.median(p["eff_raw"] for p in q), 3
-            ),
+            "eff_marginal_median": round(eff_marginal, 3),
+            "eff_raw_median": round(eff, 3),
+            "headline_basis": "raw",
             "fallback": fallback,
             "gate_rep": GATE_REP,
             "gate_rep_small": GATE_REP_SMALL,
@@ -890,13 +906,21 @@ def _time_queries(spark) -> dict[str, float]:
     for name in names:
         if _cpu_speed() < 0.75 * CANONICAL_CPU_MBS:
             _wait_for_idle()
-        if name in (
-            "neardup_groups", "neardup_groups_ls", "dedup_keep_best"
-        ):
+        if name in ("neardup_groups", "neardup_groups_ls"):
             # iterative op: the label-propagation rounds run as driver-loop
             # actions while BUILDING the frame (localCheckpoint per round),
             # so honest timing is build + materialize per pass
             _noop(QUERIES[name](spark, SF_DIR))  # warm
+            timings[name] = _min_of(
+                lambda: _noop(QUERIES[name](spark, SF_DIR))
+            )
+        elif name == "dedup_keep_best":
+            # production composition (r5 verdict #4): the CC groups frame
+            # is computed ONCE per session (neardup_groups_cached persist,
+            # paid by the warm call) and every timed pass measures the
+            # policy's marginal cost — one uid join + one row_number
+            # window. Composed pipeline cost = neardup_groups row + this.
+            _noop(QUERIES[name](spark, SF_DIR))  # warm: materializes CC
             timings[name] = _min_of(
                 lambda: _noop(QUERIES[name](spark, SF_DIR))
             )

@@ -80,6 +80,21 @@ def survey() -> dict:
         name = name_m.group(1) if name_m else "?"
         try:
             rules = parse_yara_rules(block)
+            if not rules:
+                # a `private rule` block: fully validated at load, then
+                # suppressed from output (yara-x never reports a private
+                # rule's own matches; no rule-reference grammar exists to
+                # feed it elsewhere) — that IS the accepted behavior
+                outcomes.append(
+                    {
+                        "file": fname,
+                        "rule": name,
+                        "outcome": "accepted",
+                        "backends": "all",
+                        "note": "private rule: loaded, output suppressed",
+                    }
+                )
+                continue
             assert len(rules) == 1, f"{name}: block parsed {len(rules)} rules"
             rule = rules[0]
             # compile-layer probe: every accepted rule must also render

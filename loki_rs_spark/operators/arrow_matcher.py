@@ -41,7 +41,7 @@ from .matcher import (
     _engine_for,
     _HOST_RX,
     _MaskBackend,
-    format_matched_data,
+    string_occurrence_lines,
 )
 
 FNAME_STRUCT = pa.struct(
@@ -268,14 +268,14 @@ def match_record_batch(
                 row_text = text[i].as_py()
                 text_cache[i] = row_text
             matched_strings: list[str] = []
-            for (identifier, rx), mask in zip(compiled.patterns, masks):
+            for (identifier, rx), mask, s in zip(
+                compiled.patterns, masks, compiled.rule.strings
+            ):
                 if not mask[i]:
                     continue
-                for m in rx.finditer(row_text):
-                    matched_strings.append(
-                        f"{identifier}: {format_matched_data(m.group(0))}"
-                        f" @ {m.start()}"
-                    )
+                matched_strings.extend(
+                    string_occurrence_lines(s, rx, row_text)
+                )
             rule = compiled.rule
             ya_rows.setdefault(i, []).append(
                 {
@@ -471,9 +471,19 @@ def match_gate_exprs(sigs: SignatureSet):
                     F.length(F.col("text")) >= node.offset + node.size
                 )
         # filesize reads likewise have no covering literal: the exact
-        # JVM-side comparison is its own (sound and tight) superset probe
-        for node in collect_size_nodes(rule.condition_ast):
+        # JVM-side comparison is its own (sound and tight) superset probe.
+        # A node under an odd number of `not`s must probe the COMPLEMENTED
+        # comparison — the rows that can satisfy the negated literal are
+        # exactly the ones failing the positive one (see
+        # collect_size_nodes docstring for the soundness argument).
+        complement = {
+            "eq": "ne", "ne": "eq",
+            "lt": "ge", "ge": "lt",
+            "le": "gt", "gt": "le",
+        }
+        for node, negated in collect_size_nodes(rule.condition_ast):
             length = F.length(F.col("text"))
+            op = complement[node.op] if negated else node.op
             conds.append(
                 {
                     "eq": length == node.value,
@@ -482,7 +492,7 @@ def match_gate_exprs(sigs: SignatureSet):
                     "ge": length >= node.value,
                     "lt": length < node.value,
                     "le": length <= node.value,
-                }[node.op]
+                }[op]
             )
     if alts:
         conds.append(F.col("text").rlike("|".join(alts)))

@@ -42,9 +42,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..signatures.compile import capture_regex
+from ..signatures.compile import capture_regex, literal_probe
 from ..signatures.conditions import (
     ExtPred,
+    _has_proper_border,
     collect_ext_atoms,
     render_condition,
 )
@@ -105,6 +106,46 @@ def format_matched_data(value: str) -> str:
         )
         return f"'{escaped}'"
     return value.encode("utf-8").hex()
+
+
+def string_occurrence_lines(s, rx: re.Pattern, row_text: str) -> list[str]:
+    """Formatted matched_strings entries ("$id: 'data' @ offset") for one
+    FIRED string on one row — shared by the arrow and pandas UDF paths.
+
+    Three yara-x output semantics live here:
+    * `private` strings are suppressed from output (they still feed the
+      condition — the caller only reaches this after the rule fired);
+    * the lookbehind transpile's report_shift is added back: offset
+      + shift, matched data minus the literal prefix (each prefix unit
+      matches exactly one char, so shift chars = the prefix match);
+    * bordered plain literals enumerate ALL overlapping occurrences
+      (+1-step find walk; re.finditer is non-overlapping)."""
+    if s.private:
+        return []
+    out: list[str] = []
+    probe = literal_probe(s)
+    if probe is not None:
+        needle, nocase = probe
+        pin = needle.lower() if nocase else needle
+        if _has_proper_border(pin):
+            hay = row_text.lower() if nocase else row_text
+            start = 0
+            while True:
+                pos = hay.find(pin, start)
+                if pos < 0:
+                    return out
+                data = row_text[pos : pos + len(pin)]
+                out.append(
+                    f"{s.identifier}: {format_matched_data(data)} @ {pos}"
+                )
+                start = pos + 1
+    shift = s.report_shift
+    for m in rx.finditer(row_text):
+        out.append(
+            f"{s.identifier}: {format_matched_data(m.group(0)[shift:])}"
+            f" @ {m.start() + shift}"
+        )
+    return out
 
 
 @dataclass
@@ -169,12 +210,29 @@ class TextOps:
     def counts(self, needle: str, nocase: bool) -> np.ndarray:
         import pyarrow.compute as pc
 
+        from ..signatures.conditions import (
+            _has_proper_border,
+            overlap_count,
+        )
+
         out = pc.count_substring(self.arr, needle, ignore_case=nocase)
-        return (
+        counts = (
             pc.fill_null(out, 0)
             .to_numpy(zero_copy_only=False)
             .astype("int64")
         )
+        needle_f = needle.lower() if nocase else needle
+        if _has_proper_border(needle_f):
+            # yara-x counts ALL occurrences including overlapping ones;
+            # pc.count_substring is non-overlapping. Recount only the
+            # sparse hit rows (the vectorized kernel is the prefilter)
+            # with the +1-step walk — same sparse-rows pattern as
+            # nth_offsets.
+            for i in np.nonzero(counts > 0)[0]:
+                t = self.arr[int(i)].as_py()
+                tf = t.lower() if nocase else t
+                counts[i] = overlap_count(tf, needle_f)
+        return counts
 
     def at_mask(self, needle: str, nocase: bool, offset: int) -> np.ndarray:
         import pyarrow.compute as pc
@@ -194,30 +252,37 @@ class TextOps:
     def in_mask(
         self, needle: str, nocase: bool, lo: int, hi: int
     ) -> np.ndarray:
+        """Some occurrence STARTS at a character offset in [lo, hi]:
+        equivalent to `needle` occurring in the codepoint slice
+        [lo, hi+len(needle)) — a match inside the slice starts at slice
+        position q <= hi-lo exactly when the original start is <= hi.
+        Slice + substring kernels instead of an RE2 '^.{lo,hi}' anchor,
+        so there is NO bounded-repetition cap on the window."""
         import pyarrow.compute as pc
 
-        from ..signatures.compile import regex_literal
-
-        flags = "(?s)(?i)" if nocase else "(?s)"
-        pat = f"{flags}^.{{{lo},{hi}}}(?:{regex_literal(needle)})"
+        sliced = pc.utf8_slice_codeunits(self.arr, lo, hi + len(needle))
         return (
-            pc.fill_null(pc.match_substring_regex(self.arr, pat), False)
+            pc.fill_null(
+                pc.match_substring(sliced, needle, ignore_case=nocase),
+                False,
+            )
             .to_numpy(zero_copy_only=False)
             .astype(bool)
         )
 
     def from_mask(self, needle: str, nocase: bool, lo: int) -> np.ndarray:
         """Some occurrence starts at character offset >= lo (the 'for'
-        quantifier's ExistsFrom atom): anchored RE2 with an open-ended
-        codepoint skip."""
+        quantifier's ExistsFrom atom): `needle` occurs in the open-ended
+        codepoint slice [lo, end) — slice + substring kernels, no RE2
+        bounded-repetition cap."""
         import pyarrow.compute as pc
 
-        from ..signatures.compile import regex_literal
-
-        flags = "(?s)(?i)" if nocase else "(?s)"
-        pat = f"{flags}^.{{{lo},}}(?:{regex_literal(needle)})"
+        sliced = pc.utf8_slice_codeunits(self.arr, lo)
         return (
-            pc.fill_null(pc.match_substring_regex(self.arr, pat), False)
+            pc.fill_null(
+                pc.match_substring(sliced, needle, ignore_case=nocase),
+                False,
+            )
             .to_numpy(zero_copy_only=False)
             .astype(bool)
         )
@@ -252,7 +317,6 @@ class TextOps:
         row in `rows` (rows with fewer occurrences are omitted). Python
         str.find walk — only runs on the sparse mask-true rows."""
         needle_f = needle.lower() if nocase else needle
-        step = len(needle_f)
         out: dict[int, int] = {}
         for i in rows:
             i = int(i)
@@ -265,7 +329,7 @@ class TextOps:
                 pos = tf.find(needle_f, start)
                 if pos < 0:
                     break
-                start = pos + step
+                start = pos + 1  # +1: enumerate OVERLAPPING occurrences
                 found += 1
             if found == index and pos >= 0:
                 out[i] = pos
@@ -520,14 +584,14 @@ class CompiledEngine:
                     continue
                 row_text = text.iat[i]
                 matched_strings: list[str] = []
-                for (identifier, rx), mask in zip(compiled.patterns, masks):
+                for (identifier, rx), mask, s in zip(
+                    compiled.patterns, masks, compiled.rule.strings
+                ):
                     if not mask[i]:
                         continue
-                    for m in rx.finditer(row_text):
-                        matched_strings.append(
-                            f"{identifier}: {format_matched_data(m.group(0))}"
-                            f" @ {m.start()}"
-                        )
+                    matched_strings.extend(
+                        string_occurrence_lines(s, rx, row_text)
+                    )
                 rule = compiled.rule
                 yara_out[i].append(
                     {

@@ -165,14 +165,28 @@ class _SqlCondBackend:
         return "text", s.pattern
 
     def count_cmp(self, node) -> str:
+        from .signatures.conditions import _has_proper_border
+
         col, needle = self._folded(node.identifier)
-        # byte-length arithmetic is self-consistent here: numerator and
-        # divisor are BOTH byte counts, so the quotient is the occurrence
-        # count even for non-ASCII needles.
-        count = (
-            f"((strlen({col}) - strlen(replace({col}, {_q(needle)}, '')))"
-            f" // {len(needle.encode('utf-8'))})"
-        )
+        if _has_proper_border(needle):
+            # bordered literal: count ALL (overlapping) start positions —
+            # probe every character offset with a list lambda (DuckDB has
+            # no lookahead in its RE2 regexes); the replace-trick below is
+            # non-overlapping and would undercount
+            n = len(needle)
+            count = (
+                f"len(list_filter(range(1, greatest(length({col})"
+                f" - {n} + 2, 1)), i -> substr({col}, i::INT, {n})"
+                f" = {_q(needle)}))"
+            )
+        else:
+            # byte-length arithmetic is self-consistent here: numerator
+            # and divisor are BOTH byte counts, so the quotient is the
+            # occurrence count even for non-ASCII needles.
+            count = (
+                f"((strlen({col}) - strlen(replace({col}, {_q(needle)},"
+                f" ''))) // {len(needle.encode('utf-8'))})"
+            )
         return f"({count} {_SQL_CMP[node.op]} {node.value})"
 
     def at_expr(self, node) -> str:
@@ -529,6 +543,12 @@ def yara_for_hits_sql(sigs: SignatureSet, rep: int) -> str:
     from .queries import FOR_RULE_PREFIXES
 
     return _yara_subset_hits_sql(sigs, rep, FOR_RULE_PREFIXES)
+
+
+def yara_r6_hits_sql(sigs: SignatureSet, rep: int) -> str:
+    from .queries import R6_RULE_PREFIXES
+
+    return _yara_subset_hits_sql(sigs, rep, R6_RULE_PREFIXES)
 
 
 def c2_hits_sql(sigs: SignatureSet, rep: int) -> str:

@@ -435,9 +435,19 @@ class _CatalystCondBackend:
 
     def count_cmp(self, node) -> Column:
         from ..signatures.compile import regex_literal
+        from ..signatures.conditions import _has_proper_border
 
         s = self.strings_by_ident[node.identifier]
-        pat = ("(?i)" if s.nocase else "") + regex_literal(s.pattern)
+        body = regex_literal(s.pattern)
+        needle_f = s.pattern.lower() if s.nocase else s.pattern
+        if _has_proper_border(needle_f):
+            # bordered literal: yara counts OVERLAPPING occurrences, and
+            # regexp_count is non-overlapping — wrap in a zero-width
+            # lookahead so each start position counts once (Java regex,
+            # so lookahead is in-dialect here; RE2 backends use the
+            # stepped-walk kernels instead)
+            body = f"(?={body})"
+        pat = ("(?i)" if s.nocase else "") + body
         counts = F.regexp_count(F.col("text"), F.lit(pat))
         ops = {
             "eq": counts == node.value,

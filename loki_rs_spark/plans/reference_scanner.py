@@ -70,10 +70,11 @@ _ALNUM = set("0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
 def _literal_occurrences(
     text: str, needle: str, nocase: bool, fullword: bool
 ) -> list[tuple[int, str]]:
-    """All non-overlapping occurrences of a literal, left to right —
-    deliberately regex-free (str.find walk + direct neighbor inspection
-    for fullword), so agreement with the Spark matcher's regex rendering
-    is a meaningful cross-check."""
+    """All occurrences of a literal INCLUDING overlapping ones (+1-step
+    find walk — yara-x's Aho-Corasick reports every position), left to
+    right — deliberately regex-free (str.find walk + direct neighbor
+    inspection for fullword), so agreement with the Spark matcher's
+    rendering is a meaningful cross-check."""
     hay = text.lower() if nocase else text
     pin = needle.lower() if nocase else needle
     out: list[tuple[int, str]] = []
@@ -90,7 +91,7 @@ def _literal_occurrences(
                 pos = i + 1
                 continue
         out.append((i, text[i : i + len(needle)]))
-        pos = i + len(needle)
+        pos = i + 1
 
 
 _HEX_TOK = re.compile(
@@ -170,7 +171,13 @@ def _string_occurrences(s: YaraString, text: str) -> list[tuple[int, str]]:
         if s.fullword:  # word-boundary wrap, own rendering (lookarounds)
             body = f"(?<![0-9A-Za-z])(?:{body})(?![0-9A-Za-z])"
         rx = re.compile(body, re.IGNORECASE if s.nocase else 0)
-        return [(m.start(), m.group(0)) for m in rx.finditer(text)]
+        # lookbehind transpile: pattern carries the literal prefix, so
+        # the reported match shifts forward past it (yara reports the
+        # lookbehind match without the prefix)
+        k = s.report_shift
+        return [
+            (m.start() + k, m.group(0)[k:]) for m in rx.finditer(text)
+        ]
     hits: list[tuple[int, str]] = []
     if s.ascii_form:
         hits.extend(
@@ -231,10 +238,10 @@ class _RowBackend:
         return self.text, s.pattern
 
     def count_cmp(self, node) -> bool:
-        from ..signatures.conditions import cmp_int
+        from ..signatures.conditions import cmp_int, overlap_count
 
         text, needle = self._folded(node.identifier)
-        return cmp_int(node.op, text.count(needle), node.value)
+        return cmp_int(node.op, overlap_count(text, needle), node.value)
 
     def at_expr(self, node) -> bool:
         text, needle = self._folded(node.identifier)
@@ -254,7 +261,7 @@ class _RowBackend:
             pos = text.find(needle, start)
             if pos < 0:
                 return False
-            start = pos + len(needle)
+            start = pos + 1  # +1: enumerate OVERLAPPING occurrences
             found += 1
         return cmp_int(node.op, pos, node.value)
 
@@ -414,7 +421,8 @@ def scan_turn(
         for s in rule.strings:
             occurrences = _string_occurrences(s, text)
             ident_fired.append((s.identifier, bool(occurrences)))
-            per_string.append((s.identifier, occurrences))
+            if not s.private:  # private strings feed the condition but
+                per_string.append((s.identifier, occurrences))  # not output
         backend = _RowBackend(
             ident_fired,
             ext,

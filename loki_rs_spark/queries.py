@@ -195,6 +195,7 @@ COUNT_OFFSET_RULE_PREFIXES = ("Count_", "At_", "In_", "Uint_")
 XOR_B64_RULE_PREFIXES = ("Xor_", "B64_")
 FILESIZE_RULE_PREFIXES = ("Size_",)
 FOR_RULE_PREFIXES = ("For_",)
+R6_RULE_PREFIXES = ("R6_",)
 
 
 def _yara_rule_subset_hits(
@@ -274,6 +275,18 @@ def q_yara_for_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction; `for all` (vacuously true on zero occurrences) is
     exercised by test-local sets in tests/test_truth_tables.py."""
     return _yara_rule_subset_hits(spark, sf_dir, FOR_RULE_PREFIXES)
+
+
+def q_yara_r6_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 round-6 condition-language unlocks in isolation (round6.yar):
+    overlapping-occurrence counts on bordered literals, '0 of' none-of
+    (desugared to not-any-of), private string modifiers, the
+    lookbehind-prefix and single-char-class-backref regex transpiles,
+    and offset windows beyond the old RE2 bounded-repetition cap. Each
+    rule has planted must-fire / must-NOT-fire probes in TEXT_RULES;
+    the oracle renders the same conditions independently in DuckDB SQL
+    (overlap counts via a list_filter start-position probe)."""
+    return _yara_rule_subset_hits(spark, sf_dir, R6_RULE_PREFIXES)
 
 
 def q_c2_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,16 +741,46 @@ def neardup_groups_from(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
-def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Per-session cache of the resolved duplicate-groups frame: the CC job
+# is the most expensive dedup stage, and downstream policies (keep-best
+# here, but any per-cluster selection) should reuse ONE materialization
+# rather than re-running the iterative job per consumer. Keyed by
+# (applicationId, sf_dir) — same app + same input = same groups.
+_GROUPS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def neardup_groups_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_neardup_groups` persisted + materialized once per (session,
+    input) — the production composition point for group-consuming
+    policies. The frame is tiny relative to the corpus (one row per
+    near-duplicate uid: uid, canonical_uid, group_size), so MEMORY_AND_
+    DISK persistence is safe at any SF."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _GROUPS_CACHE.get(key)
+    if df is None:
+        df = q_neardup_groups(spark, sf_dir).persist()
+        df.count()  # materialize so every consumer pays join-only cost
+        _GROUPS_CACHE[key] = df
+    return df
+
+
+def q_dedup_keep_best(
+    spark: SparkSession, sf_dir: str, groups: DataFrame | None = None
+) -> DataFrame:
     """Near-dup-aware dedup KEEP policy — the step after group
     resolution in a production pipeline: per duplicate cluster, keep the
     highest-quality member (quality_bp desc, uid asc tiebreak) and
     report what was dropped. Composition of neardup_groups x the
     text-quality metric: one uid-keyed join plus a row_number window
-    partitioned by canonical_uid — both narrow, no new scale hazards."""
+    partitioned by canonical_uid — both narrow, no new scale hazards.
+    Pass a precomputed `groups` frame (uid, canonical_uid, group_size)
+    to compose with an existing resolution; otherwise the per-session
+    cached CC output is reused (r5 verdict: recomputing the iterative CC
+    job per consumer is the wrong production composition)."""
     from pyspark.sql import Window
 
-    groups = q_neardup_groups(spark, sf_dir)
+    if groups is None:
+        groups = neardup_groups_cached(spark, sf_dir)
     df = load_transcripts(spark, sf_dir, rep=DEDUP_REP)
     t = df.select(
         "uid",
@@ -1537,6 +1580,7 @@ QUERIES = {
     "yara_xor_base64_hits": q_yara_xor_base64_hits,
     "yara_filesize_hits": q_yara_filesize_hits,
     "yara_for_hits": q_yara_for_hits,
+    "yara_r6_hits": q_yara_r6_hits,
     "c2_hits": q_c2_hits,
     "archive_child_matches": q_archive_child_matches,
     "per_conv_rollup": q_per_conv_rollup,
@@ -1594,6 +1638,7 @@ def oracle_queries() -> dict[str, str]:
         "yara_xor_base64_hits": o.yara_xor_base64_hits_sql(sigs, rep),
         "yara_filesize_hits": o.yara_filesize_hits_sql(sigs, rep),
         "yara_for_hits": o.yara_for_hits_sql(sigs, rep),
+        "yara_r6_hits": o.yara_r6_hits_sql(sigs, rep),
         "c2_hits": o.c2_hits_sql(sigs, rep),
         "archive_child_matches": o.archive_child_matches_sql(sigs, cfg, rep),
         "per_conv_rollup": o.per_conv_rollup_sql(sigs, cfg, rep),

@@ -244,6 +244,14 @@ def validate_shared_regex(pattern: str, ctx: str = "") -> None:
         if c == "[":
             in_class = True
             i += 1
+            # a leading ']' (POSIX '[]a]' / '[^]a]' idiom) is literal in
+            # some engines — skip it so the tracker doesn't close the
+            # class early and validate the tail in the wrong mode (the
+            # final re.compile still rejects Python-invalid forms)
+            if pattern[i : i + 1] == "^":
+                i += 1
+            if pattern[i : i + 1] == "]":
+                i += 1
             continue
         if c == "(" and pattern[i + 1 : i + 2] == "?":
             if not _ALLOWED_GROUP_HEAD.match(pattern, i):
@@ -256,11 +264,111 @@ def validate_shared_regex(pattern: str, ctx: str = "") -> None:
             raise YaraUnsupportedError(
                 f"possessive quantifier {c}+ is Java-only{ctx}"
             )
+        if c == "{":
+            q = re.match(r"\{\d+(?:,\d*)?\}", pattern[i:])
+            if q is None:
+                # a bare '{' that doesn't form {m}/{m,}/{m,n} is literal
+                # in Python and RE2 but an 'Illegal repetition' ERROR in
+                # Java (Catalyst rlike) — outside the shared dialect
+                raise YaraUnsupportedError(
+                    "bare '{' without a valid {m,n} quantifier is an "
+                    f"illegal repetition in Java — escape it as \\{{{ctx}"
+                )
+            # bounded-quantifier possessive form {m,n}+ / {m}+ — the
+            # star/plus/question check above misses it, and Python 3.11+
+            # re.compile ACCEPTS possessive forms, so without this it
+            # would surface later as an RE2 kernel error in the pyarrow
+            # backend instead of a loud load-time rejection
+            if pattern[i + q.end() : i + q.end() + 1] == "+":
+                raise YaraUnsupportedError(
+                    f"possessive quantifier "
+                    f"{pattern[i:i + q.end()]}+ is Java-only{ctx}"
+                )
         i += 1
     try:
         re.compile(pattern)
     except re.error as e:
         raise YaraUnsupportedError(f"regex does not compile: {e}{ctx}")
+
+
+# A lookbehind-prefix "unit": one regex atom that matches EXACTLY one
+# character — a plain non-meta char, or an escaped punctuation char.
+# (Escaped letters/digits are excluded: \d/\w match one char but \b/\A are
+# zero-width and \x41/\1 are multi-char or backrefs — simpler to allow
+# only the unambiguous single-char forms.)
+_LB_UNIT = r"(?:[^\\()|\[\]{}*+?^$.]|\\[^A-Za-z0-9])"
+_LB_UNIT_RE = re.compile(_LB_UNIT)
+_LOOKBEHIND_PREFIX_RE = re.compile(r"^\(\?<=(" + _LB_UNIT + r"+)\)")
+_CAPTURE_GROUP_RE = re.compile(r"(?<!\\)\((?!\?)")
+_CLASS_GROUP_RE = re.compile(r"\((\[(?:[^\]\\^-]|\\[^A-Za-z0-9])+\])\)")
+
+
+def _expand_backreference(pattern: str) -> str | None:
+    """If `pattern` is a backreference idiom RE2 cannot express but that
+    is mechanically transpilable — exactly ONE capturing group, the group
+    a simple character class of single literal chars, referenced only as
+    \\1 (e.g. (['\"]).{4,16}\\1) — expand it into the equivalent finite
+    alternation ('.{4,16}'|\".{4,16}\"): same matches, same offsets, same
+    matched data. Returns None when the idiom doesn't apply."""
+    if "\\1" not in pattern:
+        return None
+    if re.search(r"\\[2-9]", pattern):
+        return None  # higher backrefs: a second group must exist
+    groups = list(_CAPTURE_GROUP_RE.finditer(pattern))
+    if len(groups) != 1:
+        return None
+    g = _CLASS_GROUP_RE.match(pattern, groups[0].start())
+    if g is None:
+        return None
+    body = g.group(1)[1:-1]  # inside the [ ]
+    chars = []
+    i = 0
+    while i < len(body):
+        if body[i] == "\\":
+            chars.append(body[i + 1])
+            i += 2
+        else:
+            chars.append(body[i])
+            i += 1
+    if not 0 < len(chars) <= 16 or len(set(chars)) != len(chars):
+        return None
+    if "\\1" in pattern[: g.start()]:
+        return None  # backref before the group: invalid anyway
+    alts = []
+    for ch in chars:
+        lit = re.escape(ch)
+        alts.append(
+            pattern[: g.start()]
+            + lit
+            + pattern[g.end() :].replace("\\1", lit)
+        )
+    return "(?:" + "|".join(alts) + ")"
+
+
+def transpile_shared_regex(pattern: str, ctx: str = "") -> tuple[str, int]:
+    """Mechanical rewrites bringing two common yara regex idioms into the
+    shared Java∩RE2∩Python dialect, then validate:
+
+    * a FIXED LITERAL lookbehind prefix `(?<=LIT)rest` rewrites to the
+      concatenation `LITrest` plus a report shift of len(LIT) chars — the
+      match SET is identical (text contains `rest` preceded by LIT iff it
+      contains LITrest), and the matched_strings formatter adds the shift
+      back so reported value/offset equal yara's lookbehind match;
+    * a single-char-class backreference `(['"]).{4,16}\\1` expands into
+      the exact finite alternation (see _expand_backreference).
+
+    Returns (rewritten_pattern, report_shift_chars)."""
+    shift = 0
+    m = _LOOKBEHIND_PREFIX_RE.match(pattern)
+    if m:
+        prefix = m.group(1)
+        shift = len(_LB_UNIT_RE.findall(prefix))
+        pattern = prefix + pattern[m.end() :]
+    expanded = _expand_backreference(pattern)
+    if expanded is not None:
+        pattern = expanded
+    validate_shared_regex(pattern, ctx)
+    return pattern, shift
 
 
 def validate_string(s: YaraString) -> None:

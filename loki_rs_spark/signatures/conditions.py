@@ -522,18 +522,21 @@ class _Parser:
         if kind == "int" or (kind == "word" and val in ("any", "all")):
             if kind == "int":
                 val = str(_to_int(val))  # normalize 0x forms for int(node.n)
-            if kind == "int" and int(val) == 0:
-                # yara-x '0 of them' means NONE-of — a negation with very
-                # different gating semantics; reject rather than misfire
-                raise YaraUnsupportedError(
-                    "'0 of ...' (none-of semantics) is not supported"
-                )
+            # yara-x '0 of them' means NONE-of (legacy yara read it as
+            # 'at least 0' = always true and warns; the reference compiles
+            # yara-x, src/main.rs:780-872): desugar to NOT(any of ...).
+            # The Not makes condition_negates_strings disable the text
+            # gate automatically — blank text firing a none-of would
+            # otherwise be a false positive.
+            none_of = kind == "int" and int(val) == 0
+            if none_of:
+                val = "any"
             # of-term: 'N of them' / 'N of ($a, $b*)' / bare 'N' sugar
             if self.peek() == ("word", "of"):
                 self.next()
                 k2, v2 = self.next()
                 if (k2, v2) == ("word", "them"):
-                    return OfThem(val)
+                    return Not(OfThem(val)) if none_of else OfThem(val)
                 if k2 == "lpar":
                     sel: list[str] = []
                     while True:
@@ -551,9 +554,14 @@ class _Parser:
                             raise YaraUnsupportedError(
                                 f"of-set expects ',' or ')', got {v4!r}"
                             )
-                    return OfThem(val, tuple(sel))
+                    node = OfThem(val, tuple(sel))
+                    return Not(node) if none_of else node
                 raise YaraUnsupportedError(
                     f"'of' expects 'them' or a ($set), got {v2!r}"
+                )
+            if none_of:
+                raise YaraUnsupportedError(
+                    "bare integer 0 is not a condition"
                 )
             return OfThem(val)
         if kind == "word" and val in ("uint8", "uint16", "uint32"):
@@ -754,25 +762,50 @@ def collect_uint_nodes(node) -> list:
     return []
 
 
-def collect_size_nodes(node) -> list:
-    """Every SizeCmp node — like uint reads, no string literal covers
-    them, so the text gate needs a superset probe per node."""
+def collect_size_nodes(node, neg: bool = False) -> list:
+    """Every (SizeCmp, negated) pair — like uint reads, no string literal
+    covers them, so the text gate needs a superset probe per node. The
+    pair carries the node's EFFECTIVE polarity (odd enclosing `not`s):
+    for `not (filesize < 5)` the rows that can satisfy the literal are
+    the length >= 5 ones, so the gate must probe the COMPLEMENTED
+    comparison — emitting the positive probe there silently blanks every
+    row that fires via the negated branch (a false negative). The
+    complemented probe is sound exactly when condition_negates_strings
+    keeps the gate enabled: enabled + negated requires blank_fires True,
+    i.e. the node is True on blanked text, so `not node` is False on
+    blank — and rows failing the complemented probe have `not node`
+    False on the real text too."""
     if isinstance(node, SizeCmp):
-        return [node]
+        return [(node, neg)]
     if isinstance(node, Not):
-        return collect_size_nodes(node.operand)
+        return collect_size_nodes(node.operand, not neg)
     if isinstance(node, (AndExpr, OrExpr)):
-        return [t for x in node.items for t in collect_size_nodes(x)]
+        return [t for x in node.items for t in collect_size_nodes(x, neg)]
     return []
 
 
 def _has_proper_border(needle: str) -> bool:
     """True if some proper prefix of `needle` is also a suffix — exactly
     the condition under which occurrences can overlap, making
-    non-overlapping counts diverge from yara-x's all-occurrence counts."""
+    non-overlapping counts diverge from yara-x's all-occurrence counts.
+    Bordered needles route to the overlap-aware kernels; border-free ones
+    keep the cheaper non-overlapping fast paths (identical results)."""
     return any(
         needle[:k] == needle[-k:] for k in range(1, len(needle))
     )
+
+
+def overlap_count(text: str, needle: str) -> int:
+    """ALL occurrences of `needle` in `text`, including overlapping ones
+    (str.find walk stepping +1) — yara-x's Aho-Corasick reports every
+    position, so 'xxx'.count of 'xx' must be 2, not str.count's 1."""
+    count, start = 0, 0
+    while True:
+        pos = text.find(needle, start)
+        if pos < 0:
+            return count
+        count += 1
+        start = pos + 1
 
 
 def validate_condition_ops(rule_name: str, strings, ast) -> None:
@@ -795,31 +828,20 @@ def validate_condition_ops(rule_name: str, strings, ast) -> None:
                 f"rule {rule_name}: {kind} on {node.identifier} requires a "
                 "plain ascii literal string (no regex/hex/wide/fullword)"
             )
-        if isinstance(node, (CountCmp, OffsetCmp)):
-            needle = s.pattern.lower() if s.nocase else s.pattern
-            if _has_proper_border(needle):
-                raise YaraUnsupportedError(
-                    f"rule {rule_name}: {kind} on {node.identifier}: literal "
-                    f"{s.pattern!r} can self-overlap (has a proper border), "
-                    "so backend-uniform non-overlapping counting would "
-                    "diverge from yara-x"
-                )
+        # Self-overlapping literals (proper border, e.g. 'xor eax, eax')
+        # are SUPPORTED for #/@ as of round 6: every backend counts and
+        # enumerates ALL occurrences including overlapping ones, matching
+        # yara-x's Aho-Corasick all-positions semantics (bordered needles
+        # route to overlap-aware kernels; see TextOps.counts,
+        # _CatalystCondBackend.count_cmp, oracle count_cmp).
         if isinstance(node, (CountCmp, OffsetCmp)) and node.value < 0:
             raise YaraUnsupportedError(
                 f"rule {rule_name}: {kind} compares against a negative value"
             )
-        if isinstance(node, ExistsFrom) and node.lo > 1000:
-            raise YaraUnsupportedError(
-                f"rule {rule_name}: 'for' offset bound {node.lo} exceeds "
-                "the supported 1000 (RE2 bounded-repetition cap)"
-            )
-        if isinstance(node, InExpr) and node.hi > 1000:
-            # the pyarrow backend renders 'in' as an RE2 '^.{lo,hi}'
-            # anchor and RE2 caps bounded repetition at 1000
-            raise YaraUnsupportedError(
-                f"rule {rule_name}: 'in ({node.lo}..{node.hi})' upper bound "
-                "exceeds the supported 1000"
-            )
+        # ExistsFrom/InExpr offset windows carry no RE2 bounded-repetition
+        # cap anymore: the pyarrow kernels slice by codepoint
+        # (utf8_slice_codeunits) + match_substring instead of an
+        # '^.{lo,hi}' anchor, so any window bound is supported.
 
 
 def collect_ext_atoms(sigs) -> list[ExtPred]:

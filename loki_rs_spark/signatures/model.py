@@ -61,6 +61,15 @@ class YaraString:
     # yara base64("...64 chars...") custom alphabet (None = standard);
     # applies to base64 and base64wide alike, as in yara
     base64_alphabet: str | None = None
+    # yara `private` string modifier: the string matches and feeds the
+    # condition normally, but its occurrences are SUPPRESSED from the
+    # reported matched_strings (yara-x hides private strings from output)
+    private: bool = False
+    # lookbehind-transpile metadata: '(?<=LITERAL)rest' is rewritten to
+    # 'LITERALrest' for the shared Java∩RE2∩Python dialect, and reported
+    # matches shift forward by len(LITERAL) chars (value drops the prefix,
+    # offset adds it) so matched_strings equal yara's lookbehind match
+    report_shift: int = 0
 
 
 @dataclass(frozen=True)

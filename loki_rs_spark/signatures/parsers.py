@@ -185,15 +185,34 @@ def _unquote(s: str) -> str:
 def parse_yara_rules(text: str) -> list[YaraRule]:
     rules: list[YaraRule] = []
     text = _strip_comments(text)  # 'rule' inside a comment must not parse
-    priv = re.search(r"\b(private|global)\s+rule\s+(\w+)", text)
-    if priv:
-        # loading a private rule as a normal one would REPORT its matches
-        # (yara suppresses them and only feeds other rules' conditions) —
-        # a silent semantic divergence; reject loudly instead
+    # private/global detection must only fire in RULE-HEADER position: a
+    # bare substring search also matches inside meta values and string
+    # literals (e.g. description = "detects private rule kit"), falsely
+    # rejecting a valid ruleset. Mask quoted strings and /regex/ literals,
+    # then anchor at line start — yara headers are `[private|global ]rule
+    # Name` at top level.
+    masked = re.sub(r'"(?:[^"\\]|\\.)*"', '""', text)
+    masked = re.sub(r"/(?:[^/\\\n]|\\.)+/", "//", masked)
+    glob = re.search(
+        r"(?m)^[ \t]*(?:private\s+)?global(?:\s+private)?\s+rule\s+(\w+)",
+        masked,
+    )
+    if glob:
+        # a global rule gates EVERY other rule's matches (all globals
+        # must fire for anything to report) — cross-rule coupling the
+        # per-rule evaluation model doesn't carry; reject loudly
         raise YaraUnsupportedError(
-            f"rule {priv.group(2)}: '{priv.group(1)} rule' semantics are "
-            "not supported (matches would be mis-reported as findings)"
+            f"rule {glob.group(1)}: 'global rule' semantics are not "
+            "supported (it would gate every other rule's matches)"
         )
+    # `private rule` is SUPPORTED with yara-x semantics: its own matches
+    # are never reported (yara only feeds them to other rules via rule
+    # references, which this condition grammar does not have — so a
+    # loaded private rule can influence nothing and is dropped after full
+    # validation; src/main.rs:780-872 compiles them the same way).
+    private_names = set(
+        re.findall(r"(?m)^[ \t]*private\s+rule\s+(\w+)", masked)
+    )
     for m in _RULE_RE.finditer(text):
         body = m.group("body")
         sections: dict[str, str] = {}
@@ -229,7 +248,18 @@ def parse_yara_rules(text: str) -> list[YaraRule]:
             if raw.startswith('"'):
                 s = YaraString(sm.group("id"), _unquote(raw), False, **mods)
             elif raw.startswith("/"):
-                s = YaraString(sm.group("id"), raw[1:-1], True, **mods)
+                # mechanical dialect transpile (literal lookbehind prefix,
+                # single-char-class backreference) BEFORE validation so
+                # every backend sees the rewritten shared-dialect pattern
+                from .compile import transpile_shared_regex
+
+                body, shift = transpile_shared_regex(
+                    raw[1:-1],
+                    f" (rule {rule_name}, string {sm.group('id')})",
+                )
+                s = YaraString(
+                    sm.group("id"), body, True, report_shift=shift, **mods
+                )
             else:  # { hex string }
                 s = YaraString(
                     sm.group("id"), raw[1:-1].strip(), False, is_hex=True, **mods
@@ -279,6 +309,11 @@ def parse_yara_rules(text: str) -> list[YaraRule]:
                     f"rule {rule_name}: '{term.n} of' exceeds the "
                     f"{n_selected} string(s) it quantifies over"
                 )
+        if rule_name in private_names:
+            # fully validated above, then dropped: with no rule-reference
+            # grammar a private rule can influence no other rule, and
+            # yara-x never reports its own matches — identical output
+            continue
         rules.append(
             YaraRule(
                 name=rule_name,
@@ -294,7 +329,7 @@ def parse_yara_rules(text: str) -> list[YaraRule]:
 
 
 def _strip_comments(text: str) -> str:
-    """Strip // line comments, quote-aware: a // inside a "..." string
+    r"""Strip // line comments, quote-aware: a // inside a "..." string
     literal or a /regex/ body is NOT a comment. Regex bodies are tracked
     as their own quoting context (entered on the / that follows '=' in a
     string definition, or the ext-var 'matches' keyword in a condition)
@@ -381,15 +416,22 @@ def _parse_modifiers(raw: str, rule: str, ident: str) -> dict:
         out["base64_alphabet"] = alphabets[0]
     tokens = raw.split()
     explicit_ascii = False
+    bare_b64 = False
     for tok in tokens:
         if tok == "ascii":
             explicit_ascii = True
+        elif tok == "private":
+            # yara `private` string modifier: matches feed the condition
+            # normally but are suppressed from reported matched_strings
+            out["private"] = True
         elif tok in ("nocase", "fullword", "wide"):
             out[tok] = True
         elif tok == "base64":
             out["base64_mod"] = True
+            bare_b64 = True
         elif tok == "base64wide":
             out["base64wide"] = True
+            bare_b64 = True
         elif tok.startswith("xor"):
             m = _XOR_MOD_RE.match(tok)
             if m is None:
@@ -408,6 +450,15 @@ def _parse_modifiers(raw: str, rule: str, ident: str) -> dict:
             raise YaraUnsupportedError(
                 f"rule {rule}, string {ident}: unsupported modifier {tok!r}"
             )
+    if bare_b64 and alphabets:
+        # yara treats a bare base64/base64wide as the STANDARD alphabet
+        # and errors when the sibling form carries a custom one; applying
+        # the custom alphabet to both (compile.py expands both forms from
+        # s.base64_alphabet) would silently diverge from yara-x
+        raise YaraUnsupportedError(
+            f"rule {rule}, string {ident}: bare base64/base64wide mixed "
+            "with a custom-alphabet form (alphabets would differ)"
+        )
     out["ascii_form"] = explicit_ascii or not out["wide"]
     return out
 

@@ -89,6 +89,34 @@ TEXT_RULES: tuple[tuple[int, int, str, str], ...] = (
     # literal (must NOT fire: base64 strings drop the raw form)
     (1049, 41, "append", " blob WGV4ZmlsLXRoZS1kYXRhWlo= end"),
     (1049, 141, "append", " plain exfil-the-data mention"),
+    # round-6 probes (round6.yar). Overlapping-occurrence counting:
+    # 'aba' occurs 3x overlapping in 'abababa' (non-overlapping counting
+    # sees only 2, so '#o >= 3' distinguishes the semantics); 'ababa'
+    # carries 2 overlapping -> must NOT fire
+    (1051, 19, "append", " weave abababa braid"),
+    (1051, 117, "append", " weave ababa braid"),
+    # '0 of' none-of: trigger + clean fires '$t and 0 of ($bad*)';
+    # trigger + bad token must NOT
+    (1061, 23, "append", " r6-trigger clean channel"),
+    (1061, 123, "append", " r6-trigger with r6-bad-token inside"),
+    # private string modifier: either marker fires the rule; the private
+    # one is suppressed from matched_strings (row presence identical).
+    # (Residues here and below chosen so the FIRST hit uid — the residue
+    # itself — is not shadowed by an earlier first-match-wins rule.)
+    (1063, 47, "append", " carries r6-priv-marker quietly"),
+    (1063, 129, "append", " shows r6-vis-marker openly"),
+    # lookbehind-prefix transpile: >=6 [a-z0-9] chars after 'token='
+    # fires; a 2-char value must NOT
+    (1069, 49, "append", " auth token=abc123xyz ok"),
+    (1069, 131, "append", " auth token=ab ok"),
+    # backref-class expansion: MATCHING quote pair fires; mismatched
+    # quotes must NOT
+    (1087, 51, "append", ' set cfg "r6-value" done'),
+    (1087, 137, "append", " set cfg \"r6-value' skew"),
+    # wide offset window (beyond the old RE2 1000 cap): marker at char
+    # offset 1200 fires '$s in (1100..4000)'; an early one must NOT
+    (1091, 43, "replace", "x" * 1200 + "r6-late-marker tail"),
+    (1091, 143, "replace", "early r6-late-marker present"),
 )
 
 # (modulus, residue, tool value); default tool is 'tool-' || uid % 7.
@@ -203,7 +231,15 @@ def materialized_transcripts(
         "SPARK_GRAFT_TABLE_DIR", "/tmp/loki_rs_spark_tables"
     )
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = f"{base}/transcripts_{name}_rep{rep}"
+    # key the cache by a hash of the generating SPEC too: planting a new
+    # probe payload in TEXT_RULES/TOOL_RULES must invalidate tables
+    # written by an older spec, or a stale cache would silently diverge
+    # from the oracle CTE (which always renders the current spec)
+    import hashlib
+
+    spec = repr((TEXT_RULES, TOOL_RULES, TS_EPOCH, TS_STEP_SECONDS))
+    spec_hash = hashlib.sha256(spec.encode()).hexdigest()[:10]
+    path = f"{base}/transcripts_{name}_rep{rep}_{spec_hash}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         # write-to-temp + atomic rename: concurrent processes (e.g. two
         # bench pair servers started together) must never interleave
@@ -218,10 +254,26 @@ def materialized_transcripts(
         )
         try:
             os.rename(tmp, path)
-        except OSError:  # somebody else won the race
+        except OSError:
             import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
+            # Only treat this as a lost race when the winner's copy is
+            # actually COMPLETE: if `path` is a stale partial directory
+            # without _SUCCESS (crashed earlier run), deleting tmp here
+            # would silently read the broken table. Clear the stale dir
+            # and retry once; another process may complete it in the
+            # window, so re-check before giving up.
+            if not os.path.exists(f"{path}/_SUCCESS"):
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    if not os.path.exists(f"{path}/_SUCCESS"):
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        raise
+                    shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 

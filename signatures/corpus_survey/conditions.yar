@@ -60,9 +60,9 @@ rule SUSP_Count_Threshold {
         #s1 > 3
 }
 
-rule REJ_Count_SelfOverlap_Literal {
+rule SUSP_Count_SelfOverlap_Literal {
     meta:
-        description = "count on a self-overlapping literal ('xor eax, eax' has border 'x') — non-overlapping counting would diverge from yara, rejected"
+        description = "count on a self-overlapping literal ('xor eax, eax' has border 'x') — every backend counts ALL occurrences including overlapping ones (lookahead regexp_count / stepped-walk kernels), matching yara-x"
         score = 55
     strings:
         $s1 = "xor eax, eax"
@@ -160,9 +160,9 @@ rule SUSP_For_All_Window {
         for all i in (1..#s1) : ( @s1[i] < 512 )
 }
 
-rule REJ_For_Bound_Cap {
+rule SUSP_For_Bound_Wide {
     meta:
-        description = "for-all offset bound beyond the RE2 bounded-repetition cap (1000)"
+        description = "for-all offset bound beyond 1000 — supported: the pyarrow kernels slice by codepoint, no RE2 bounded-repetition anchor remains"
         score = 60
     strings:
         $s1 = "section"
@@ -189,9 +189,9 @@ rule REJ_Entrypoint {
         entrypoint == 0x1000
 }
 
-rule REJ_Zero_Of_Them {
+rule SUSP_Zero_Of_Them {
     meta:
-        description = "0 of them (none-of) — rejected, not misfired"
+        description = "0 of them — yara-x NONE-of semantics, desugared to not-any-of (gate auto-disabled)"
         score = 40
     strings:
         $s1 = "clean-marker"
@@ -207,9 +207,9 @@ rule SUSP_Stringless_Size_Probe {
         filesize > 1MB
 }
 
-private rule PRIV_Helper_Marker {
+private rule SUSP_Private_Helper_Marker {
     meta:
-        description = "private helper rule — privacy semantics unsupported"
+        description = "private helper rule — loaded + validated, own matches suppressed (yara-x semantics; no rule-reference grammar can consume it)"
         score = 0
     strings:
         $s1 = "helper-marker"

@@ -111,9 +111,9 @@ rule SUSP_Regex_Escapes {
         $r1
 }
 
-rule REJ_Regex_Lookbehind {
+rule SUSP_Regex_Lookbehind_Literal {
     meta:
-        description = "lookbehind — outside the shared Java-RE2-Python dialect"
+        description = "fixed literal lookbehind prefix — transpiled to a concatenation + report shift (same match set, yara-identical matched data)"
         score = 50
     strings:
         $r1 = /(?<=password=)[^&]{8,}/
@@ -121,9 +121,9 @@ rule REJ_Regex_Lookbehind {
         $r1
 }
 
-rule REJ_Regex_Backreference {
+rule SUSP_Regex_Backref_Class {
     meta:
-        description = "backreference — RE2 cannot express it"
+        description = "single-char-class backreference — expanded into the exact finite alternation, shared-dialect"
         score = 50
     strings:
         $r1 = /(['"]).{4,16}\1/

@@ -179,9 +179,9 @@ rule REJ_Base64_Bad_Alphabet {
         $s1
 }
 
-rule REJ_Private_String_Modifier {
+rule SUSP_Private_String_Modifier {
     meta:
-        description = "private string modifier — unknown to the subset"
+        description = "private string modifier — matches feed the condition, suppressed from matched_strings output"
         score = 50
     strings:
         $s1 = "internal-only" private

@@ -185,6 +185,12 @@ def test_bundled_corpus_loads():
         "Size_KB_Suffix_Floor",
         "For_Any_Late_Marker",
         "For_Any_Window_Banner",
+        "R6_Overlap_Count",
+        "R6_Zero_Of",
+        "R6_Private_String",
+        "R6_Lookbehind",
+        "R6_Backref",
+        "R6_Wide_Window",
         "Xor_Hidden_Marker",
         "Xor_Single_Key",
         "B64_Exfil_Marker",
@@ -200,3 +206,149 @@ def test_bundled_corpus_loads():
     assert sigs.yara_rules[2].condition == "$t in (2..8) and #t == 1"
     assert sigs.yara_rules[3].condition == "uint16(0) == 0x4142"
     assert sigs.yara_rules[3].strings == ()
+
+
+# ---- ADVICE r5 regression tests -------------------------------------------
+
+
+def test_private_global_detection_only_in_header_position():
+    """The private/global check must not fire on those words inside meta
+    values or string literals (ADVICE r5: a description like 'detects
+    private rule kit' falsely rejected an entire valid ruleset)."""
+    import pytest
+
+    from loki_rs_spark.signatures.conditions import YaraUnsupportedError
+
+    ok = (
+        'rule Kit {\n  meta:\n    description = "detects private rule kit"\n'
+        '  strings:\n    $a = "global rule marker"\n'
+        "  condition:\n    any of them\n}"
+    )
+    rules = parse_yara_rules(ok)
+    assert [r.name for r in rules] == ["Kit"]
+    # regex literal containing the words is fine too
+    ok2 = (
+        "rule R2 {\n  strings:\n    $a = /private rule \\w+/\n"
+        "  condition:\n    any of them\n}"
+    )
+    assert [r.name for r in parse_yara_rules(ok2)] == ["R2"]
+    # a real `global rule` header rejects loudly, any order/position
+    for header in ("global rule", "global private rule"):
+        bad = (
+            'rule A {\n  strings:\n    $a = "x"\n  condition:\n'
+            "    any of them\n}\n"
+            f'{header} Hidden {{\n  strings:\n    $h = "y"\n'
+            "  condition:\n    any of them\n}"
+        )
+        with pytest.raises(YaraUnsupportedError, match="Hidden"):
+            parse_yara_rules(bad)
+
+
+def test_private_rule_loaded_validated_and_suppressed():
+    """`private rule` carries yara-x semantics: its own matches are never
+    reported, and with no rule-reference grammar it can influence nothing
+    — so it parses (full validation) and is dropped from the output."""
+    import pytest
+
+    from loki_rs_spark.signatures.conditions import YaraUnsupportedError
+
+    src = (
+        'private rule Helper {\n  strings:\n    $h = "helper-marker"\n'
+        "  condition:\n    any of them\n}\n"
+        'rule Vis {\n  strings:\n    $a = "x"\n'
+        "  condition:\n    any of them\n}"
+    )
+    assert [r.name for r in parse_yara_rules(src)] == ["Vis"]
+    # indented private header also recognized (dropped, not mis-reported)
+    assert (
+        parse_yara_rules(
+            '  private rule P {\n  strings:\n    $a = "x"\n'
+            "  condition:\n    any of them\n}"
+        )
+        == []
+    )
+    # a private rule still VALIDATES: unsupported constructs reject loudly
+    with pytest.raises(YaraUnsupportedError):
+        parse_yara_rules(
+            "private rule Bad {\n  condition:\n    entrypoint == 4\n}"
+        )
+
+
+def test_mixed_bare_and_custom_base64_rejects():
+    """yara errors when a bare base64/base64wide sits next to a custom-
+    alphabet form; silently applying the custom alphabet to both would
+    diverge from yara-x (ADVICE r5)."""
+    import pytest
+
+    from loki_rs_spark.signatures.conditions import YaraUnsupportedError
+
+    alpha = (
+        "!@#$%^&*(){}[].,|ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstu"
+    )
+    assert len(set(alpha)) == 64
+
+    def rule(mods: str) -> str:
+        return (
+            f'rule R {{\n  strings:\n    $a = "secret" {mods}\n'
+            "  condition:\n    any of them\n}"
+        )
+
+    with pytest.raises(YaraUnsupportedError, match="bare base64"):
+        parse_yara_rules(rule(f'base64 base64wide("{alpha}")'))
+    with pytest.raises(YaraUnsupportedError, match="bare base64"):
+        parse_yara_rules(rule(f'base64("{alpha}") base64wide'))
+    # both-custom-same-alphabet stays accepted
+    rules = parse_yara_rules(rule(f'base64("{alpha}") base64wide("{alpha}")'))
+    assert rules[0].strings[0].base64_alphabet == alpha
+    # bare+bare stays accepted (both standard alphabet)
+    rules = parse_yara_rules(rule("base64 base64wide"))
+    assert rules[0].strings[0].base64_alphabet is None
+
+
+def test_shared_regex_possessive_bounded_quantifier_rejects():
+    """{m,n}+ is Java/Python-3.11+-only; it must reject at load time, not
+    surface as an RE2 kernel error in the pyarrow backend (ADVICE r5)."""
+    import pytest
+
+    from loki_rs_spark.signatures.compile import validate_shared_regex
+    from loki_rs_spark.signatures.conditions import YaraUnsupportedError
+
+    for pat in ("a{2,3}+b", "a{2}+b", "a{2,}+b"):
+        with pytest.raises(YaraUnsupportedError, match="possessive"):
+            validate_shared_regex(pat)
+    # non-possessive bounded forms still pass
+    for pat in ("a{2,3}b", "a{2,3}?b", "(a){2}", "a{2,}b"):
+        validate_shared_regex(pat)
+    # a bare '{' that doesn't form a quantifier is LITERAL in python/RE2
+    # but an 'Illegal repetition' error in Java (verified against JDK 17)
+    # -> outside the shared dialect, rejected loudly
+    for pat in ("a{x}+", "a{x}", "a{", "a{,3}"):
+        with pytest.raises(YaraUnsupportedError, match="repetition"):
+            validate_shared_regex(pat)
+    validate_shared_regex(r"a\{x}")  # escaped brace is fine everywhere
+
+
+def test_shared_regex_class_leading_bracket():
+    """[]a] / [^]a]-style classes (leading ']' is literal — verified
+    accepted by Java 17, Python 3.11 and RE2): the tracker must not close
+    the class on the leading ']' and then validate the tail in the wrong
+    mode."""
+    import pytest
+
+    from loki_rs_spark.signatures.compile import validate_shared_regex
+    from loki_rs_spark.signatures.conditions import YaraUnsupportedError
+
+    # all three engines accept the POSIX leading-']' idiom -> passes
+    validate_shared_regex("[]a]b")
+    validate_shared_regex("[^]a]b")
+    validate_shared_regex(r"[\]a]b")
+    # the broken tracker closed the class at the leading ']' and then
+    # validated CLASS-INTERIOR text in outside mode — falsely rejecting
+    # valid patterns like []*+] ("possessive *+") and []{x}] (bare brace)
+    validate_shared_regex("[]*+]")
+    validate_shared_regex("[^]{x}]")
+    # a lookahead genuinely after the class must still reject by name
+    with pytest.raises(YaraUnsupportedError, match="lookaround"):
+        validate_shared_regex("[]a](?=x)")
+    with pytest.raises(YaraUnsupportedError, match="lookaround"):
+        validate_shared_regex("[^]a](?=x)")

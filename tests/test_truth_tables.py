@@ -472,7 +472,7 @@ def test_unsupported_yara_constructs_raise():
         )
 
     with pytest.raises(YaraUnsupportedError):  # unknown modifier
-        parse_yara_rules(rule('$a = "x" private', "any of them"))
+        parse_yara_rules(rule('$a = "x" bogusmod', "any of them"))
     with pytest.raises(YaraUnsupportedError):  # xor + nocase combo
         parse_yara_rules(rule('$a = "x" xor nocase', "any of them"))
     with pytest.raises(YaraUnsupportedError):  # wide on regex
@@ -489,8 +489,9 @@ def test_unsupported_yara_constructs_raise():
         parse_yara_rules(rule('$a = "x"', "$a* and $a"))
     with pytest.raises(YaraUnsupportedError):  # strings referenced, none defined
         parse_yara_rules("rule R {\n  condition:\n    any of them\n}")
-    with pytest.raises(YaraUnsupportedError):  # '0 of' = none-of semantics
-        parse_yara_rules(rule('$a = "x"', "0 of them"))
+    # '0 of them' is SUPPORTED as of round 6 (yara-x none-of semantics,
+    # desugared to not-any-of); the exceeds-set-size rejection remains
+    assert len(parse_yara_rules(rule('$a = "x"', "0 of them"))) == 1
     with pytest.raises(YaraUnsupportedError):  # quantifier exceeds set size
         parse_yara_rules(rule('$a = "x"', "5 of them"))
 
@@ -711,18 +712,20 @@ def test_count_operator_rejections():
         parse_yara_rules(rule("$a = { 41 42 }", "#a > 1"))
     with pytest.raises(YaraUnsupportedError):  # '#' on fullword
         parse_yara_rules(rule('$a = "x" fullword', "#a > 1"))
-    with pytest.raises(YaraUnsupportedError):  # self-overlapping literal
-        parse_yara_rules(rule('$a = "aa"', "#a > 1"))
-    with pytest.raises(YaraUnsupportedError):  # border under nocase fold
-        parse_yara_rules(rule('$a = "aA" nocase', "#a > 1"))
+    # self-overlapping literals (plain and under nocase fold) are
+    # SUPPORTED as of round 6: every backend counts ALL occurrences
+    # including overlapping ones (yara-x Aho-Corasick semantics)
+    assert len(parse_yara_rules(rule('$a = "aa"', "#a > 1"))) == 1
+    assert len(parse_yara_rules(rule('$a = "aA" nocase', "#a > 1"))) == 1
     with pytest.raises(YaraUnsupportedError):  # bare count in bool context
         parse_yara_rules(rule('$a = "x"', "#a"))
     with pytest.raises(YaraUnsupportedError):  # undefined string
         parse_yara_rules(rule('$a = "x"', "#zzz > 1"))
     with pytest.raises(YaraUnsupportedError):  # inverted in-range
         parse_yara_rules(rule('$a = "xy"', "$a in (9..2)"))
-    with pytest.raises(YaraUnsupportedError):  # in-range beyond RE2 bound
-        parse_yara_rules(rule('$a = "xy"', "$a in (0..5000)"))
+    # in-range windows beyond the old RE2 bound (1000) are SUPPORTED as
+    # of round 6 (codepoint-slice kernels, no regex repetition anchor)
+    assert len(parse_yara_rules(rule('$a = "xy"', "$a in (0..5000)"))) == 1
     with pytest.raises(YaraUnsupportedError):  # @ index is 1-based
         parse_yara_rules(rule('$a = "xy"', "@a[0] < 5"))
     # border-free literal with '#', 'at', 'in', '@' all parse fine
@@ -1020,6 +1023,67 @@ def test_filesize_negation_soundness():
     assert condition_negates_strings(parse_condition("not filesize > 10"))
 
 
+@pytest.mark.parametrize(
+    "condition,length,hit",
+    [
+        # the four negated forms where blank_fires=True keeps the gate
+        # ENABLED — the gate must probe the complemented comparison
+        ("not (filesize < 10)", 100, True),
+        ("not (filesize < 10)", 9, False),
+        ("not (filesize <= 10)", 11, True),
+        ("not (filesize <= 10)", 10, False),
+        ("not (filesize != 10)", 10, True),
+        ("not (filesize != 10)", 9, False),
+        ("not (filesize == 0)", 7, True),
+    ],
+)
+def test_filesize_negated_gate_truth_table(spark, condition, length, hit):
+    """ADVICE r5 (high): for `$a or not (filesize < 5)` the gate stayed
+    enabled but appended the POSITIVE probe, so a long row without $a
+    failed every gate cond, was blanked, and evaluated not(0<5)=False — a
+    silent false negative. The probe must be complemented under odd
+    negation."""
+    sigs = _sigs(
+        yara_rules=[
+            YaraRule(
+                "NegSize", 70, "", "", "",
+                (YaraString("$a", "zz-marker-zz"),),
+                f"$a or {condition}",
+            )
+        ]
+    )
+    from loki_rs_spark.operators.arrow_matcher import match_gate_exprs
+
+    assert match_gate_exprs(sigs)[0] is not None  # gate stays enabled
+    text = "x" * length  # never contains the marker
+    ref = scan_turn("c0", 0, text, "tool-x", sigs, CFG)
+    assert (ref is not None) == hit
+    routed = _routed_levels(spark, [(text, "tool-x")], sigs)
+    assert (0 in routed) == hit
+    # the $a branch must still fire on a row that fails the size branch
+    routed2 = _routed_levels(spark, [("zz-marker-zz", "tool-x")], sigs)
+    ref2 = scan_turn("c0", 0, "zz-marker-zz", "tool-x", sigs, CFG)
+    assert (0 in routed2) == (ref2 is not None)
+
+
+def test_collect_size_nodes_polarity():
+    from loki_rs_spark.signatures.conditions import (
+        collect_size_nodes,
+        parse_condition,
+    )
+
+    nodes = collect_size_nodes(
+        parse_condition("filesize > 5 or not (filesize < 9)")
+    )
+    assert [(n.op, n.value, neg) for n, neg in nodes] == [
+        ("gt", 5, False),
+        ("lt", 9, True),
+    ]
+    # double negation cancels
+    nodes = collect_size_nodes(parse_condition("not (not (filesize > 5))"))
+    assert [neg for _, neg in nodes] == [False]
+
+
 def test_filesize_parse_rejections():
     from loki_rs_spark.signatures.conditions import YaraUnsupportedError
     from loki_rs_spark.signatures.parsers import parse_yara_rules
@@ -1105,13 +1169,267 @@ def test_for_parse_rejections():
     ):
         with pytest.raises(YaraUnsupportedError):
             parse_condition(cond)
-    # the RE2 bounded-repetition cap fires at RULE load (validation needs
-    # the string table), not at condition parse
+    # offset windows beyond the old RE2 bounded-repetition cap (1000) are
+    # SUPPORTED as of round 6: the pyarrow kernels slice by codepoint
+    # instead of rendering an '^.{lo,hi}' anchor
     from loki_rs_spark.signatures.parsers import parse_yara_rules
 
     rule = (
         'rule R {\n  strings:\n    $s = "mk"\n  condition:\n'
         "    for all i in (1..#s) : ( @s[i] < 2048 )\n}"
     )
-    with pytest.raises(YaraUnsupportedError, match="exceeds"):
-        parse_yara_rules(rule)
+    assert len(parse_yara_rules(rule)) == 1
+
+
+# ---- round-6 YARA unlocks: 0-of, overlapping counts, private strings, ----
+# ---- lookbehind/backref transpiles, unbounded offset windows -------------
+
+
+def _routed_reasons(spark, rows, sigs, matcher="arrow"):
+    """Full reasons (message + matched_strings) per turn_idx."""
+    result = scan_transcripts(
+        spark, _turn_df(spark, rows), sigs, CFG, matcher=matcher
+    )
+    return {
+        r["turn_idx"]: r["reasons"] for r in result.routed.collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "condition,text,hit",
+    [
+        # yara-x '0 of them' = NONE of the strings present
+        ("0 of them", "perfectly clean text", True),
+        ("0 of them", "contains evil-tok here", False),
+        ("0 of them", "contains second-tok here", False),
+        # 0 of a selected subset: only that subset must be absent
+        ("0 of ($a*)", "contains second-tok here", True),
+        ("0 of ($a*)", "contains evil-tok here", False),
+    ],
+)
+def test_zero_of_none_of_truth_table(spark, condition, text, hit):
+    """yara-x '0 of ...' is NONE-of (legacy yara: always-true + warning;
+    the reference compiles yara-x, src/main.rs:780-872). Desugared to
+    not-any-of; firing on string-absence means the text gate must be
+    auto-disabled (blank text satisfies none-of)."""
+    sigs = _sigs(
+        yara_rules=[
+            YaraRule(
+                "R", 60, "", "", "",
+                (YaraString("$a1", "evil-tok"), YaraString("$b1", "second-tok")),
+                condition,
+            )
+        ]
+    )
+    from loki_rs_spark.operators.arrow_matcher import match_gate_exprs
+
+    assert match_gate_exprs(sigs)[0] is None  # gate self-disables
+    ref = scan_turn("c0", 0, text, "tool-x", sigs, CFG)
+    assert (ref is not None) == hit
+    routed = _routed_levels(spark, [(text, "tool-x")], sigs)
+    assert (0 in routed) == hit
+
+
+def test_zero_of_parses_from_rule_text():
+    from loki_rs_spark.signatures.parsers import parse_yara_rules
+
+    rules = parse_yara_rules(
+        'rule CleanMarker {\n  strings:\n    $s1 = "dirty"\n'
+        "  condition:\n    0 of them\n}"
+    )
+    assert rules[0].condition == "0 of them"
+
+
+@pytest.mark.parametrize(
+    "condition,text,hit",
+    [
+        # 'aaaa' contains 'aa' at 0,1,2 -> overlapping count 3
+        ("#a == 3", "aaaa", True),
+        ("#a == 3", "aaa", False),  # 2 overlapping occurrences
+        ("#a == 2", "aaa", True),
+        ("#a == 1", "xx aa yy", True),
+        # bordered multi-char needle: 'abab' in 'ababab' at 0 and 2
+        ("#b == 2", "ababab", True),
+        ("#b == 2", "abab", False),
+        # overlapping occurrence ENUMERATION: @a[2] is the 2nd start pos
+        ("@a[2] == 1", "aaaa", True),
+        ("@a[3] == 2", "aaaa", True),
+        ("@a[2] == 2", "aaaa", False),
+    ],
+)
+def test_overlapping_count_truth_table(spark, condition, text, hit):
+    """yara-x's Aho-Corasick reports EVERY occurrence including
+    overlapping ones; all backends must agree (stepped-walk kernels /
+    lookahead regexp_count — non-overlapping str.count would diverge)."""
+    sigs = _sigs(
+        yara_rules=[
+            YaraRule(
+                "R", 60, "", "", "",
+                (YaraString("$a", "aa"), YaraString("$b", "abab")),
+                condition,
+            )
+        ]
+    )
+    ref = scan_turn("c0", 0, text, "tool-x", sigs, CFG)
+    assert (ref is not None) == hit
+    routed = _routed_levels(spark, [(text, "tool-x")], sigs)
+    assert (0 in routed) == hit
+
+
+def test_overlapping_count_nocase_and_catalyst(spark):
+    """Border detection folds case under nocase; the Catalyst backend's
+    lookahead regexp_count agrees with the kernel walk."""
+    sigs = _sigs(
+        yara_rules=[
+            YaraRule(
+                "R", 60, "", "", "",
+                (YaraString("$a", "aA", nocase=True),),
+                "#a >= 3",
+            )
+        ]
+    )
+    text = "zzAaAa"  # folded 'aaaa': 3 overlapping 'aa'
+    assert scan_turn("c0", 0, text, "t", sigs, CFG) is not None
+    for matcher in ("arrow", "pandas", "catalyst"):
+        routed = _routed_reasons(spark, [(text, "t")], sigs, matcher=matcher)
+        assert 0 in routed, matcher
+    assert scan_turn("c0", 0, "zzAaz", "t", sigs, CFG) is None
+
+
+def test_overlapping_matched_strings_enumeration(spark):
+    """matched_strings lists every overlapping occurrence with its
+    offset, identically in the arrow path and the reference scanner."""
+    sigs = _yara_sigs([YaraString("$a", "aa")])
+    text = "xaaa"
+    ref = scan_turn("c0", 0, text, "tool-x", sigs, CFG)
+    exp = ref.reasons[0].matched_strings
+    assert exp == ["$a: 'aa' @ 1", "$a: 'aa' @ 2"]
+    routed = _routed_reasons(spark, [(text, "tool-x")], sigs)
+    assert routed[0][0]["matched_strings"] == exp
+
+
+def test_private_string_feeds_condition_but_not_output(spark):
+    """`private` string modifier: the string matches and satisfies the
+    condition, but its occurrences never appear in matched_strings
+    (yara-x hides private strings from output)."""
+    sigs = _sigs(
+        yara_rules=[
+            YaraRule(
+                "R", 60, "", "", "",
+                (
+                    YaraString("$p", "priv-marker", private=True),
+                    YaraString("$v", "vis-marker"),
+                ),
+                "any of them",
+            )
+        ]
+    )
+    # private-only hit: rule fires, matched_strings EMPTY (the repo
+    # convention for an empty list is NULL/None, both paths agree)
+    text = "has priv-marker only"
+    ref = scan_turn("c0", 0, text, "t", sigs, CFG)
+    assert ref is not None and ref.reasons[0].matched_strings is None
+    routed = _routed_reasons(spark, [(text, "t")], sigs)
+    assert routed[0][0]["matched_strings"] is None
+    # both hit: only the visible string is reported
+    text2 = "priv-marker and vis-marker"
+    ref2 = scan_turn("c0", 0, text2, "t", sigs, CFG)
+    assert ref2.reasons[0].matched_strings == ["$v: 'vis-marker' @ 16"]
+    routed2 = _routed_reasons(spark, [(text2, "t")], sigs)
+    assert routed2[0][0]["matched_strings"] == ["$v: 'vis-marker' @ 16"]
+    # miss: private string's absence behaves like any other string
+    assert scan_turn("c0", 0, "neither marker", "t", sigs, CFG) is None
+
+
+def test_private_string_modifier_parses():
+    from loki_rs_spark.signatures.parsers import parse_yara_rules
+
+    rules = parse_yara_rules(
+        'rule R {\n  strings:\n    $s1 = "internal-only" private\n'
+        "  condition:\n    any of them\n}"
+    )
+    assert rules[0].strings[0].private is True
+
+
+@pytest.mark.parametrize(
+    "text,hit,expected_ms",
+    [
+        (
+            "user=a&password=hunter77&x",
+            True,
+            ["$r: 'hunter77' @ 16"],  # prefix excluded, offset shifted
+        ),
+        ("user=a&password=ab&x", False, None),  # too short
+        ("user=a&passcode=hunter77&x", False, None),  # no lookbehind ctx
+    ],
+)
+def test_lookbehind_prefix_transpile(spark, text, hit, expected_ms):
+    """A fixed-literal lookbehind prefix /(?<=password=)[^&]{8,}/ is
+    transpiled to the concatenation + report shift: same match SET as
+    yara's lookbehind, and matched_strings report the post-prefix data
+    at the post-prefix offset — exactly what yara-x would output."""
+    from loki_rs_spark.signatures.parsers import parse_yara_rules
+
+    rules = parse_yara_rules(
+        "rule LB {\n  strings:\n    $r = /(?<=password=)[^&]{8,}/\n"
+        "  condition:\n    any of them\n}"
+    )
+    s = rules[0].strings[0]
+    assert s.report_shift == len("password=") and "(?<=" not in s.pattern
+    sigs = _sigs(yara_rules=rules)
+    ref = scan_turn("c0", 0, text, "t", sigs, CFG)
+    assert (ref is not None) == hit
+    routed = _routed_reasons(spark, [(text, "t")], sigs)
+    assert (0 in routed) == hit
+    if hit:
+        assert ref.reasons[0].matched_strings == expected_ms
+        assert routed[0][0]["matched_strings"] == expected_ms
+
+
+@pytest.mark.parametrize(
+    "text,hit",
+    [
+        ('say "abcdef" ok', True),  # double-quote pair
+        ("say 'abcdef' ok", True),  # single-quote pair
+        ("say \"abcdef' ok", False),  # mismatched quotes
+        ('say "abc" ok', False),  # body too short (needs 4..16)
+    ],
+)
+def test_backreference_class_expansion(spark, text, hit):
+    """(['\"]).{4,16}\\1 — RE2 has no backreferences; the single-char-
+    class idiom expands into the exact finite alternation, identical
+    matches in every backend."""
+    from loki_rs_spark.signatures.parsers import parse_yara_rules
+
+    rules = parse_yara_rules(
+        "rule BR {\n  strings:\n    $r = /(['\"]).{4,16}\\1/\n"
+        "  condition:\n    any of them\n}"
+    )
+    assert "\\1" not in rules[0].strings[0].pattern
+    sigs = _sigs(yara_rules=rules)
+    ref = scan_turn("c0", 0, text, "t", sigs, CFG)
+    assert (ref is not None) == hit
+    routed = _routed_levels(spark, [(text, "t")], sigs)
+    assert (0 in routed) == hit
+
+
+@pytest.mark.parametrize(
+    "lo,hi,pos,hit",
+    [
+        (1500, 2000, 1500, True),
+        (1500, 2000, 2000, True),  # window END is inclusive (start pos)
+        (1500, 2000, 1499, False),
+        (1500, 2000, 2001, False),
+    ],
+)
+def test_wide_offset_window(spark, lo, hi, pos, hit):
+    """Offset windows beyond the old RE2 bounded-repetition cap: the
+    codepoint-slice kernels support any bound."""
+    sigs = _yara_sigs(
+        [YaraString("$s", "mk-needle")], f"$s in ({lo}..{hi})"
+    )
+    text = "x" * pos + "mk-needle" + "y" * 10
+    ref = scan_turn("c0", 0, text, "t", sigs, CFG)
+    assert (ref is not None) == hit
+    routed = _routed_levels(spark, [(text, "t")], sigs)
+    assert (0 in routed) == hit

@@ -39,10 +39,13 @@ def test_survey_outcomes_follow_rule_names():
 
 def test_survey_headline_numbers():
     result = _survey()
-    # the numbers quoted in COVERAGE.md §yara-survey
+    # the numbers quoted in COVERAGE.md §yara-survey (round 6: 0-of,
+    # overlapping counts, private rules/strings, lookbehind-prefix +
+    # backref-class transpiles, and the lifted RE2 window cap moved 7
+    # rules from rejected to accepted: 40/55 -> 47/55)
     assert result["total"] == 55
-    assert result["accepted"] == 40
-    assert result["rejected"] == 15
+    assert result["accepted"] == 47
+    assert result["rejected"] == 8
     assert result["accepted_udf_only"] == 1  # @[i] rule
     udf_only = [
         o["rule"]
@@ -56,13 +59,23 @@ def test_survey_covers_each_rejection_family_once_or_more():
     result = _survey()
     hist = result["rejection_histogram"]
     for family in (
-        "regex outside shared dialect",
-        "private rule semantics",
         "byte >= 0x80 / NUL (text-column model)",
         "hex jump in alternation",
         "yara module (pe/elf/... dotted access)",
         "for-loop / iterators",
-        "'0 of' none-of semantics",
-        "count/offset on self-overlapping literal",
+        "legacy globals (entrypoint...)",
+        "modifier combo (xor/base64 with nocase etc.)",
+        "invalid base64 alphabet",
     ):
         assert hist.get(family, 0) >= 1, family
+    # every remaining rejection is genuinely outside the data model or
+    # forbidden by yara-x itself — none of the round-6 unlocked families
+    # may reappear
+    for gone in (
+        "'0 of' none-of semantics",
+        "count/offset on self-overlapping literal",
+        "private rule semantics",
+        "regex outside shared dialect",
+        "unknown string modifier",
+    ):
+        assert hist.get(gone, 0) == 0, gone
