@@ -298,6 +298,7 @@ _TOKEN_RE = re.compile(
       | (?P<dotdot>\.\.)
       | (?P<colon>:)
       | (?P<comma>,)
+      | (?P<percent>%)
       | (?P<int>0[xX][0-9A-Fa-f]+|\d+)
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
     )""",
@@ -519,18 +520,36 @@ class _Parser:
             return OffsetCmp(
                 "$" + val[1:], index, INT_CMPS[op_val], _to_int(v_val)
             )
-        if kind == "int" or (kind == "word" and val in ("any", "all")):
+        if kind == "int" or (
+            kind == "word" and val in ("any", "all", "none")
+        ):
             if kind == "int":
                 val = str(_to_int(val))  # normalize 0x forms for int(node.n)
-            # yara-x '0 of them' means NONE-of (legacy yara read it as
-            # 'at least 0' = always true and warns; the reference compiles
-            # yara-x, src/main.rs:780-872): desugar to NOT(any of ...).
-            # The Not makes condition_negates_strings disable the text
-            # gate automatically — blank text firing a none-of would
+            # yara-x '0 of them' / 'none of them' mean NONE-of (legacy
+            # yara read '0 of' as 'at least 0' = always true and warns;
+            # the reference compiles yara-x, src/main.rs:780-872):
+            # desugar to NOT(any of ...). The Not makes
+            # condition_negates_strings disable the text gate
+            # automatically — blank text firing a none-of would
             # otherwise be a false positive.
-            none_of = kind == "int" and int(val) == 0
+            none_of = (kind == "int" and int(val) == 0) or val == "none"
             if none_of:
                 val = "any"
+            elif kind == "int" and self.peek() == ("percent", "%"):
+                # 'P% of (...)': percentage quantifier. Kept symbolic
+                # ('P%') here — the parser cannot see the rule's string
+                # table; resolve_percent_of rewrites it into the integer
+                # threshold at rule-load time.
+                self.next()
+                if not 1 <= int(val) <= 100:
+                    raise YaraUnsupportedError(
+                        f"percentage quantifier {val}% outside 1..100"
+                    )
+                if self.peek() != ("word", "of"):
+                    raise YaraUnsupportedError(
+                        f"'{val}%' must be followed by 'of'"
+                    )
+                val = f"{val}%"
             # of-term: 'N of them' / 'N of ($a, $b*)' / bare 'N' sugar
             if self.peek() == ("word", "of"):
                 self.next()
@@ -561,7 +580,7 @@ class _Parser:
                 )
             if none_of:
                 raise YaraUnsupportedError(
-                    "bare integer 0 is not a condition"
+                    "bare 0/none is not a condition"
                 )
             return OfThem(val)
         if kind == "word" and val in ("uint8", "uint16", "uint32"):
@@ -712,6 +731,31 @@ def parse_condition(text: str):
     """Parse a condition string into the AST. Raises YaraUnsupportedError
     on anything outside the supported subset."""
     return _Parser(_tokenize(text)).parse()
+
+
+def resolve_percent_of(node, idents):
+    """Rewrite 'P% of (...)' quantifiers into the equivalent integer
+    threshold, resolved at LOAD time where the rule's string table is
+    known (the condition parser is not). yara semantics: satisfied when
+    matching_count * 100 >= P * set_size, i.e. threshold =
+    ceil(P * n / 100). P in 1..100 and n >= 1 give 1 <= threshold <= n,
+    so the rewritten node is always a legal N-of — every backend sees a
+    plain integer quantifier and needs zero percent-awareness."""
+    from dataclasses import replace as _replace
+
+    if isinstance(node, OfThem) and node.n.endswith("%"):
+        p = int(node.n[:-1])
+        n_sel = sum(
+            1 for i in idents if selector_matches(node.selector, i)
+        )
+        return _replace(node, n=str(-(-p * n_sel // 100)))
+    if isinstance(node, Not):
+        return Not(resolve_percent_of(node.operand, idents))
+    if isinstance(node, (AndExpr, OrExpr)):
+        return type(node)(
+            tuple(resolve_percent_of(x, idents) for x in node.items)
+        )
+    return node
 
 
 def collect_of_terms(node) -> list[OfThem]:

@@ -85,9 +85,15 @@ class YaraRule:
 
     @property
     def condition_ast(self):
-        from .conditions import parse_condition
+        from .conditions import parse_condition, resolve_percent_of
 
-        return parse_condition(self.condition)
+        # percentage quantifiers ('60% of them') resolve to integer
+        # thresholds HERE, where the string table is in scope — every
+        # backend downstream sees a plain N-of node
+        return resolve_percent_of(
+            parse_condition(self.condition),
+            [s.identifier for s in self.strings],
+        )
 
 
 @dataclass(frozen=True)

@@ -285,6 +285,7 @@ def parse_yara_rules(text: str) -> list[YaraRule]:
             )
         from .conditions import (
             collect_of_terms,
+            resolve_percent_of,
             selector_matches,
             validate_condition_ops,
         )
@@ -293,6 +294,10 @@ def parse_yara_rules(text: str) -> list[YaraRule]:
         validate_condition_ops(rule_name, strings, ast)
 
         idents = [s.identifier for s in strings]
+        # resolve 'P% of' quantifiers so the exceeds-set-size validation
+        # below sees integer thresholds (the runtime resolution lives in
+        # YaraRule.condition_ast, same helper)
+        ast = resolve_percent_of(ast, idents)
         for term in collect_of_terms(ast):
             n_selected = sum(
                 1 for i in idents if selector_matches(term.selector, i)

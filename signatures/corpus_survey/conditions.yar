@@ -216,3 +216,26 @@ private rule SUSP_Private_Helper_Marker {
     condition:
         $s1
 }
+
+rule SUSP_Percent_Of_Them {
+    meta:
+        description = "percentage quantifier — resolved to ceil(P*n/100)-of at load time, all backends"
+        score = 50
+    strings:
+        $s1 = "stage-one"
+        $s2 = "stage-two"
+        $s3 = "stage-three"
+    condition:
+        67% of them
+}
+
+rule SUSP_None_Of_Keyword {
+    meta:
+        description = "'none of' keyword spelling (yara 4.3+/yara-x) — same none-of desugar as '0 of'"
+        score = 45
+    strings:
+        $t1 = "loader-stub"
+        $w1 = "whitelisted-vendor"
+    condition:
+        $t1 and none of ($w*)
+}

@@ -1433,3 +1433,75 @@ def test_wide_offset_window(spark, lo, hi, pos, hit):
     assert (ref is not None) == hit
     routed = _routed_levels(spark, [(text, "t")], sigs)
     assert (0 in routed) == hit
+
+
+@pytest.mark.parametrize(
+    "condition,text,hit",
+    [
+        # 'none of them' keyword = NONE-of (yara 4.3+/yara-x spelling)
+        ("none of them", "perfectly clean", True),
+        ("none of them", "has evil-tok", False),
+        ("none of ($a*)", "has second-tok only", True),
+        # 50% of 2 strings -> threshold 1; 100% -> both required
+        ("50% of them", "has evil-tok", True),
+        ("50% of them", "clean", False),
+        ("100% of them", "evil-tok and second-tok", True),
+        ("100% of them", "has evil-tok only", False),
+        # ceil semantics: 51% of 2 -> ceil(1.02) = 2
+        ("51% of them", "has evil-tok only", False),
+        ("51% of them", "evil-tok and second-tok", True),
+    ],
+)
+def test_percent_and_none_quantifiers(spark, condition, text, hit):
+    """Percentage quantifiers resolve to ceil(P*n/100)-of at load time
+    (yara: matching_count*100 >= P*set_size); 'none of' is the keyword
+    spelling of 0-of."""
+    sigs = _sigs(
+        yara_rules=[
+            YaraRule(
+                "R", 60, "", "", "",
+                (YaraString("$a1", "evil-tok"), YaraString("$b1", "second-tok")),
+                condition,
+            )
+        ]
+    )
+    ref = scan_turn("c0", 0, text, "tool-x", sigs, CFG)
+    assert (ref is not None) == hit
+    routed = _routed_levels(spark, [(text, "tool-x")], sigs)
+    assert (0 in routed) == hit
+
+
+def test_percent_quantifier_parse_and_resolution():
+    from loki_rs_spark.signatures.conditions import (
+        OfThem,
+        YaraUnsupportedError,
+        parse_condition,
+        resolve_percent_of,
+    )
+
+    node = parse_condition("60% of them")
+    assert isinstance(node, OfThem) and node.n == "60%"
+    # 60% of 3 -> ceil(1.8) = 2; of 5 -> 3
+    assert resolve_percent_of(node, ["$a", "$b", "$c"]).n == "2"
+    assert resolve_percent_of(node, list("abcde")).n == "3"
+    # the resolved threshold is always a legal 1..n quantifier
+    assert resolve_percent_of(parse_condition("1% of them"), ["$a"]).n == "1"
+    assert (
+        resolve_percent_of(parse_condition("100% of them"), ["$a", "$b"]).n
+        == "2"
+    )
+    for bad in ("0% of them", "101% of them", "50% them", "50%"):
+        with pytest.raises(YaraUnsupportedError):
+            parse_condition(bad)
+    # rule-level load resolves through YaraRule.condition_ast
+    from loki_rs_spark.signatures.parsers import parse_yara_rules
+
+    rules = parse_yara_rules(
+        'rule P {\n  strings:\n    $a = "x1"\n    $b = "x2"\n    $c = "x3"\n'
+        "  condition:\n    67% of them\n}"
+    )
+    assert rules[0].condition_ast.n == "3"  # ceil(2.01)
+    with pytest.raises(YaraUnsupportedError):  # none-of needs 'of'
+        parse_yara_rules(
+            'rule N {\n  strings:\n    $a = "x"\n  condition:\n    none\n}'
+        )
