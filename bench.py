@@ -888,6 +888,7 @@ def _time_queries(spark) -> dict[str, float]:
         "dedup_exact",
         "token_stats",
         "content_fingerprint",
+        "pii_redact",
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
         "neardup_groups",

@@ -685,6 +685,50 @@ SELECT uid, md5(array_to_string(list_sort(list_distinct(
 FROM transcripts"""
 
 
+def pii_redact_sql(rep: int) -> str:
+    from .queries import PII_EMAIL, PII_IP, PII_PHONE
+
+    cte = transcripts_duckdb_cte("", rep=rep)
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"{_q(PII_EMAIL)}, '[EMAIL]', 'g'), "
+        f"{_q(PII_IP)}, '[IP]', 'g'), "
+        f"{_q(PII_PHONE)}, '[PHONE]', 'g')"
+    )
+    return f"""WITH {cte},
+pii AS (
+  SELECT uid,
+    CAST(len(regexp_extract_all(text, {_q(PII_EMAIL)})) AS INT) AS n_emails,
+    CAST(len(regexp_extract_all(text, {_q(PII_IP)})) AS INT) AS n_ips,
+    CAST(len(regexp_extract_all(text, {_q(PII_PHONE)})) AS INT) AS n_phones,
+    md5({redacted}) AS redacted_md5
+  FROM transcripts)
+SELECT * FROM pii WHERE n_emails + n_ips + n_phones > 0"""
+
+
+def repetition_stats_sql(rep: int) -> str:
+    cte = transcripts_duckdb_cte("", rep=rep)
+    return f"""WITH {cte},
+tok AS (SELECT uid, string_split(text, ' ') AS w FROM transcripts),
+grams AS (
+  SELECT uid, w,
+    CASE WHEN len(w) >= 3 THEN list_transform(
+      range(1, len(w) - 1),
+      i -> array_to_string(list_slice(w, i, i + 2), ' '))
+    ELSE [] END AS g
+  FROM tok)
+SELECT uid,
+  CAST(len(w) AS INT) AS n_words,
+  CAST(len(list_distinct(w)) AS INT) AS n_distinct_words,
+  CAST(CASE WHEN len(g) > 0 THEN floor(
+    (len(g) - len(list_distinct(g))) * 10000 / len(g)) ELSE 0 END AS INT)
+    AS dup_3gram_bp,
+  CAST(floor(list_max(list_transform(list_distinct(w),
+    u -> len(list_filter(w, x -> x = u)))) * 10000 / len(w)) AS INT)
+    AS top_word_bp
+FROM grams"""
+
+
 def ngram_jaccard_pairs_sql(rep: int, threshold: float = 0.5) -> str:
     from .queries import NGRAM_DF_CAP
 

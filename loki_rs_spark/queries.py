@@ -496,6 +496,86 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns, kept inside the Java∩RE2 dialect both engines share
+# (same constraint as the YARA regex layer). Redaction order matters and
+# is fixed: emails first (their local parts contain digits/dots an IP
+# pattern could bite), then IPs, then phones (the phone class has no '.'
+# so IP remnants can never re-match).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training-data pipeline runs
+    before anything ships to a tokenizer: detect emails / IPv4s / phone
+    numbers, count them per row, and emit the md5 of the REDACTED text
+    (hashing the full transform means an engine disagreeing on any
+    replacement breaks the oracle row). Pure Catalyst: regexp_count +
+    three chained regexp_replace calls, row-local, shuffle-free — at
+    100 TB this is a free rider on any existing scan."""
+    df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"),
+            PII_IP,
+            "[IP]",
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    t = df.select(
+        "uid",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_IP)).alias("n_ips"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE)).alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+    return t.filter(
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals — the filters a
+    training pipeline uses to drop boilerplate/spam: duplicated-3-gram
+    fraction and top-word concentration, in basis points. Entirely
+    row-local array expressions (transform/filter/array_distinct inside
+    whole-stage codegen): no UDF, no shuffle — at 100 TB it rides the
+    same scan as every other per-row signal. The per-row top-word pass
+    is O(distinct x words) on ~100-word rows, i.e. bounded constant
+    work, and stays columnar."""
+    df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
+    t = df.select("uid", F.split("text", " ").alias("w"))
+    n_words = F.size("w")
+    grams = F.when(
+        F.size("w") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 2),
+            lambda i: F.concat_ws(" ", F.slice("w", i, F.lit(3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    n_dup_grams = n_grams - F.size(F.array_distinct(grams))
+    dup_3gram_bp = F.when(
+        n_grams > 0, F.floor(n_dup_grams * 10000 / n_grams).cast("int")
+    ).otherwise(F.lit(0))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("w")),
+            lambda u: F.size(F.filter(F.col("w"), lambda x: x == u)),
+        )
+    )
+    top_word_bp = F.floor(top_count * 10000 / n_words).cast("int")
+    return t.select(
+        "uid",
+        n_words.alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct_words"),
+        dup_3gram_bp.alias("dup_3gram_bp"),
+        top_word_bp.alias("top_word_bp"),
+    )
+
+
 def q_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_transcripts(spark, sf_dir, rep=DEFAULT_REP)
     canon = F.concat_ws(
@@ -1592,6 +1672,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "langid": q_langid,
     "content_fingerprint": q_content_fingerprint,
+    "pii_redact": q_pii_redact,
+    "repetition_stats": q_repetition_stats,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "neardup_groups": q_neardup_groups,
@@ -1650,6 +1732,8 @@ def oracle_queries() -> dict[str, str]:
         "text_quality": o.text_quality_sql(rep),
         "langid": o.langid_sql(rep),
         "content_fingerprint": o.content_fingerprint_sql(rep),
+        "pii_redact": o.pii_redact_sql(rep),
+        "repetition_stats": o.repetition_stats_sql(rep),
         "ngram_jaccard_pairs": o.ngram_jaccard_pairs_sql(DEDUP_REP),
         "minhash_lsh_pairs": o.minhash_lsh_pairs_sql(DEDUP_REP),
         "neardup_groups": o.neardup_groups_sql(DEDUP_REP),

@@ -117,6 +117,12 @@ TEXT_RULES: tuple[tuple[int, int, str, str], ...] = (
     # offset 1200 fires '$s in (1100..4000)'; an early one must NOT
     (1091, 43, "replace", "x" * 1200 + "r6-late-marker tail"),
     (1091, 143, "replace", "early r6-late-marker present"),
+    # PII-redaction probes (pii_redact query): an email+phone row and an
+    # international-phone row; IP-bearing rows already exist (the
+    # planted 203.0.113.66 callback at uid%127==59)
+    (1093, 57, "append",
+     " contact ops-lead@example.com or +1 415-555-0199 now"),
+    (1093, 153, "append", " fallback pager +44 20 7946 0958 ext 12"),
 )
 
 # (modulus, residue, tool value); default tool is 'tool-' || uid % 7.

@@ -105,3 +105,62 @@ def test_plaintext_match_line(spark, sigs):
     for r in rows[:20]:
         assert r["line"] == plaintext_match_line(r)
         assert r["line"].startswith("Match: ")
+
+
+def test_pii_redact_patterns(spark):
+    """The three PII patterns and their fixed redaction order (emails ->
+    IPs -> phones): chained replacements must not re-match each other's
+    placeholders, and counts must agree with the redaction."""
+    from pyspark.sql import functions as F
+
+    from loki_rs_spark.queries import PII_EMAIL, PII_IP, PII_PHONE
+
+    rows = [
+        ("mail a.b-c_d@sub.example.org now", 1, 0, 0,
+         "mail [EMAIL] now"),
+        ("callback 203.0.113.66 port 443", 0, 1, 0,
+         "callback [IP] port 443"),
+        ("dial +1 415-555-0199 today", 0, 0, 1, "dial [PHONE] today"),
+        ("x ops@example.com 10.0.0.1 +44 20 7946 0958 y", 1, 1, 1,
+         "x [EMAIL] [IP] [PHONE] y"),
+        ("clean text with no pii at all", 0, 0, 0,
+         "clean text with no pii at all"),
+        # an IP must NOT count as a phone (dots break the digit run)
+        ("just 203.0.113.66 here", 0, 1, 0, "just [IP] here"),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, *_ in rows], "text string"
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"),
+            PII_IP,
+            "[IP]",
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    got = df.select(
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("e"),
+        F.regexp_count("text", F.lit(PII_IP)).alias("i"),
+        F.regexp_count("text", F.lit(PII_PHONE)).alias("p"),
+        redacted.alias("r"),
+    ).collect()
+    for (text, e, i, p, r), row in zip(rows, got):
+        assert (row["e"], row["i"], row["p"]) == (e, i, p), text
+        assert row["r"] == r, text
+    # DuckDB agrees on the identical inputs (the oracle's engine)
+    import duckdb
+
+    con = duckdb.connect()
+    for text, e, i, p, r in rows:
+        de, di, dp, dr = con.execute(
+            "SELECT len(regexp_extract_all(?, ?)),"
+            " len(regexp_extract_all(?, ?)),"
+            " len(regexp_extract_all(?, ?)),"
+            " regexp_replace(regexp_replace(regexp_replace("
+            "?, ?, '[EMAIL]', 'g'), ?, '[IP]', 'g'), ?, '[PHONE]', 'g')",
+            [text, PII_EMAIL, text, PII_IP, text, PII_PHONE,
+             text, PII_EMAIL, PII_IP, PII_PHONE],
+        ).fetchone()
+        assert (de, di, dp, dr) == (e, i, p, r), text
