@@ -1018,36 +1018,72 @@ def q_neardup_groups_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 16
 
 
+def _simhash_band_value(token_md5s: F.Column, band: int, bits: int) -> F.Column:
+    """One `bits`-wide simhash band over an array of per-token md5 hex
+    strings: token hash for band b = md5 nibbles [4b, 4b+4) (conv is
+    bit-identical to the nibble fold for md5's lowercase hex output);
+    per bit, the +/-1 majority vote over tokens; the band value folds the
+    sign bits MSB-first.
+
+    Shape matters here (guide §1.2, per-task work): the bit counters
+    accumulate in ONE F.aggregate pass with an array<int> accumulator —
+    the previous rendering ran `bits` separate F.aggregate folds per
+    band, each re-evaluating the token-hash transform (codegen does not
+    CSE across higher-order-function subtrees), i.e. up to bands*bits
+    md5 evaluations per token instead of one."""
+    hs = F.transform(
+        token_md5s,
+        lambda h: F.conv(F.substring(h, 4 * band + 1, 4), 16, 10).cast(
+            "int"
+        ),
+    )
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.array(
+            *[
+                acc[i]
+                + (
+                    F.shiftright(h, bits - 1 - i).bitwiseAND(F.lit(1)) * 2
+                    - 1
+                )
+                for i in range(bits)
+            ]
+        ),
+    )
+    return F.aggregate(
+        counts,
+        F.lit(0),
+        lambda acc, c: acc * 2 + F.when(c > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def _token_md5s_frame(
+    spark: SparkSession, sf_dir: str, rep: int = DEDUP_REP
+) -> DataFrame:
+    """(uid, _th: array of md5 hex per distinct whitespace token) — the
+    shared stage both simhash queries start from. Staged through an alias
+    so each md5 evaluates once however many bands consume it."""
+    df = load_transcripts(spark, sf_dir, rep=rep)
+    toks = F.array_distinct(F.split("text", " "))
+    return df.select(
+        "uid",
+        F.transform(toks, lambda t: F.md5(t.cast("binary"))).alias("_th"),
+    )
+
+
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup grouping: 16-bit simhash from md5-derived per-token
     hashes (the shared hash both engines implement identically), exact
     groups with >1 member. Bit b of a token's hash comes from the first 4
     hex nibbles of md5(token)."""
-    df = load_transcripts(spark, sf_dir, rep=DEDUP_REP)
-    toks = F.array_distinct(F.split("text", " "))
-
-    def token_hash(t):  # 16-bit int from 4 md5 hex nibbles
-        h = F.md5(t.cast("binary"))
-        val = F.lit(0)
-        for i in range(4):
-            nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
-            val = val * 16 + nib
-        return val
-
-    def bit_fold(k: int):
-        # closure factory: F.aggregate's merge lambda must have arity 2
-        return lambda acc, h: acc + (
-            F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1
-        )
-
-    hs = F.transform(toks, token_hash)
-    simhash = F.lit(0)
-    for b in range(SIMHASH_BITS):
-        k = SIMHASH_BITS - 1 - b
-        contrib = F.aggregate(hs, F.lit(0), bit_fold(k))
-        simhash = simhash * 2 + F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0))
-
-    sh = df.select("uid", simhash.cast("int").alias("simhash"))
+    th = _token_md5s_frame(spark, sf_dir)
+    sh = th.select(
+        "uid",
+        _simhash_band_value(F.col("_th"), 0, SIMHASH_BITS)
+        .cast("int")
+        .alias("simhash"),
+    )
     return (
         sh.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("uid").alias("min_uid"))
@@ -1069,42 +1105,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact Hamming check runs on candidates only. Token hash for band b
     comes from md5 nibbles [4b, 4b+4) — the hash both engines implement
     identically."""
-    df = load_transcripts(spark, sf_dir, rep=DEDUP_REP)
-    toks = F.array_distinct(F.split("text", " "))
-
-    def band_token_hash(band: int):
-        def f(t):  # 16-bit int from md5 hex nibbles [4*band, 4*band+4)
-            h = F.md5(t.cast("binary"))
-            val = F.lit(0)
-            for i in range(4):
-                nib = (
-                    F.instr(
-                        F.lit("0123456789abcdef"),
-                        F.substring(h, 4 * band + i + 1, 1),
-                    )
-                    - 1
-                )
-                val = val * 16 + nib
-            return val
-
-        return f
-
-    def bit_fold(k: int):
-        return lambda acc, h: acc + (
-            F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1
-        )
-
-    band_cols = []
-    for band in range(SIMHASH64_BANDS):
-        hs = F.transform(toks, band_token_hash(band))
-        val = F.lit(0)
-        for b in range(SIMHASH64_BAND_BITS):
-            k = SIMHASH64_BAND_BITS - 1 - b
-            contrib = F.aggregate(hs, F.lit(0), bit_fold(k))
-            val = val * 2 + F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0))
-        band_cols.append(val.cast("long").alias(f"b{band}"))
-
-    sh = df.select("uid", *band_cols)
+    th = _token_md5s_frame(spark, sf_dir)
+    band_cols = [
+        _simhash_band_value(F.col("_th"), band, SIMHASH64_BAND_BITS)
+        .cast("long")
+        .alias(f"b{band}")
+        for band in range(SIMHASH64_BANDS)
+    ]
+    sh = th.select("uid", *band_cols)
     bands = sh.select(
         "uid",
         *[f"b{i}" for i in range(SIMHASH64_BANDS)],
@@ -1125,6 +1133,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band.band_idx",
         "band.band_val",
     )
+    # NOTE on join strategy (measured, guide §3.1): forcing a shuffled
+    # self-join here to share one exchange between the two sides was
+    # 4x SLOWER than the planner's broadcast pick (7.4s vs 1.9s at
+    # sf0.1) — band values are skewed (common short-text bands), so the
+    # (band_idx, band_val) hash partitioning concentrates hot buckets,
+    # while the broadcast join keeps the probe side's full parallelism.
+    # After the one-md5-per-token restructure the duplicated build
+    # subtree is cheap, so broadcast wins on both counts.
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
