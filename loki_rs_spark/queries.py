@@ -645,9 +645,17 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_from(_shingled(spark, sf_dir))
 
 
-def _shingled(spark: SparkSession, sf_dir: str):
+def _shingled(spark: SparkSession, sf_dir: str, min_tokens: int = 0):
+    """(uid, shingles): distinct token-3-grams per doc. `min_tokens=3`
+    additionally drops docs that cannot produce a shingle — equivalent to
+    filtering F.size("shingles") > 0 afterwards (>= 3 tokens <=> >= 1
+    shingle; split() never yields an empty array), but the predicate is
+    on the CHEAP pre-shingle token count, so predicate pushdown does not
+    substitute the shingle-building transform into the filter."""
     df = load_transcripts(spark, sf_dir, rep=DEDUP_REP)
     toks = df.select("uid", F.split("text", " ").alias("t"))
+    if min_tokens:
+        toks = toks.filter(F.size("t") >= min_tokens)
     return toks.select(
         "uid",
         F.array_distinct(
@@ -671,7 +679,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification — the classic scale path for near-dedup: signatures are
     O(k) per doc, the band join only shuffles (band_idx, band_hash) keys,
     and the expensive exact verify runs on candidates only."""
-    shingled = _shingled(spark, sf_dir).filter(F.size("shingles") > 0)
+    # The non-empty-shingles filter is expressed on the RAW token count
+    # (>= 3 tokens <=> >= 1 shingle, see _shingled) BEFORE the shingle
+    # transform exists: a filter on F.size("shingles") gets pushed below
+    # the projection by SUBSTITUTING the whole shingle-building transform
+    # into the predicate, evaluating the expensive tree twice per row
+    # (measured 5.0s -> 3.3s at sf0.1 from this alone).
+    shingled = _shingled(spark, sf_dir, min_tokens=3)
     def _perm(i: int):
         suffix = F.lit(f";{i}")
         # single-arg lambda: F.transform treats 2-arg callables as
@@ -711,8 +725,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("uid", "band.band_idx", "band.band_hash")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Shuffled self-join on the band key (guide §2.4 "share one
+    # exchange"): both sides are the SAME subtree, and band_hash is an
+    # md5 — uniformly distributed, so no hot-bucket hazard — which lets
+    # AQE reuse the shuffle stage: the whole 12-perm minhash computation
+    # runs ONCE for both sides instead of twice under the planner's
+    # broadcast pick (measured 3.3s -> 2.1s at sf0.1; contrast
+    # q_simhash_pairs, where skewed band values make broadcast win).
+    a = bands.alias("a").hint("shuffle_hash")
+    b = bands.alias("b").hint("shuffle_hash")
     pairs = (
         a.join(
             b,
