@@ -601,40 +601,57 @@ NGRAM_DF_CAP = 10_000
 def ngram_jaccard_pairs_from(
     shingled: DataFrame, threshold: float = 0.5, df_cap: int = NGRAM_DF_CAP
 ) -> DataFrame:
-    """Core of the shingle self-join, over a (uid, shingles array) frame."""
-    sizes = shingled.select(
-        "uid", F.size("shingles").cast("long").alias("n")
+    """Core of the shingle self-join, over a (uid, shingles array) frame.
+
+    Plan shape (round-7 optimization, guide §2.3/§2.4 — result-identical
+    to the previous join-based rendering, proven by the unchanged oracle):
+
+    * the df cap is a COUNT WINDOW over the exploded frame instead of a
+      groupBy + join-back: the window's hashpartitioning(s) exchange is
+      exactly the partitioning the self-join needs, so one shuffle of the
+      exploded rows serves cap-filter AND self-join (was: three
+      evaluations of the exploded subtree — groupBy, join probe, join
+      build — plus an extra join);
+    * each side carries its doc's shingle-set size `n` (one long per
+      row) through the self-join, and (na, nb) ride the pair groupBy as
+      grouping keys — constants per (ua, ub), so the grouping is
+      unchanged — eliminating both size-lookup joins and their two extra
+      evaluations of the shingle subtree (guide §8: move a lightweight
+      proxy with the rows instead of re-attaching it with joins);
+    * shuffle_hash hints on the self-join keep AQE on the shared-
+      exchange plan instead of broadcasting one side (which would
+      re-evaluate the subtree and is impossible at 100 TB anyway).
+    """
+    from pyspark.sql import Window
+
+    ex = shingled.select(
+        "uid",
+        F.size("shingles").cast("long").alias("n"),
+        F.explode("shingles").alias("s"),
     )
-    ex = shingled.select("uid", F.explode("shingles").alias("s"))
-    # df cap: aggregate shingle frequency, keep the long tail. The join
-    # back is keyed on the SAME column as the self-join, so the three
-    # joins share one shuffle partitioning (no extra exchange).
-    keep = (
-        ex.groupBy("s")
-        .agg(F.count("*").alias("df"))
+    w = Window.partitionBy("s")
+    exf = (
+        ex.withColumn("df", F.count("*").over(w))
         .filter(F.col("df") <= df_cap)
-        .select("s")
+        .drop("df")
     )
-    ex = ex.join(keep, "s")
-    a = ex.alias("a")
-    b = ex.alias("b")
+    a = exf.alias("a").hint("shuffle_hash")
+    b = exf.alias("b").hint("shuffle_hash")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.uid") < F.col("b.uid")))
-        .groupBy(F.col("a.uid").alias("ua"), F.col("b.uid").alias("ub"))
+        .groupBy(
+            F.col("a.uid").alias("ua"),
+            F.col("b.uid").alias("ub"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("inter") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
-    return (
-        pairs.join(sa, F.col("ua") == F.col("sa.uid"))
-        .join(sb, F.col("ub") == F.col("sb.uid"))
-        .filter(jac >= threshold)
-        .select(
-            F.col("ua").alias("uid_a"),
-            F.col("ub").alias("uid_b"),
-            F.round(jac, 4).alias("jaccard"),
-        )
+    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.filter(jac >= threshold).select(
+        F.col("ua").alias("uid_a"),
+        F.col("ub").alias("uid_b"),
+        F.round(jac, 4).alias("jaccard"),
     )
 
 
