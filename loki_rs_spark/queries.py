@@ -820,6 +820,21 @@ def neardup_groups_from(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("uid"))
         .localCheckpoint(eager=True)
     )
+
+    # Convergence probe (round-7 optimization, guide §1.2 — fewer jobs
+    # per round): labels are MONOTONE NON-INCREASING per uid (each round
+    # takes a min over the old label and neighbor labels) and the uid set
+    # is fixed, so "no label changed" <=> "sum of labels unchanged".
+    # One single-row aggregate over the just-checkpointed frame replaces
+    # the old join + filter + limit probe (a whole extra shuffle join per
+    # round). Decimal(38) keeps the sum exact at any uid scale; the
+    # collect is a bounded single row (like the count it replaces).
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iters):
         msgs = edges.join(
@@ -831,17 +846,12 @@ def neardup_groups_from(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "uid")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new)
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"neardup_groups_from: label propagation did not converge in "
@@ -992,20 +1002,22 @@ def neardup_groups_bigstar_from(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("u", "mn").alias("mn"))
         )
+        # round-7: the two intermediate .distinct() calls that used to sit
+        # here cost a shuffle each and are redundant — min-aggregation is
+        # duplicate-insensitive, duplicate rows through the join only
+        # produce duplicate ss rows, and the round-final distinct dedups
+        # them; intermediate growth is bounded by <= 2x the edge count
+        # (each sym row emits at most one ls row). Verified row-identical.
         ls = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: orient edges big->small, attach the big node and
         # all its smaller neighbors to the minimum of that neighborhood
-        d = (
-            ls.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-            )
-            .distinct()
+        d = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         mins2 = d.groupBy("u").agg(F.min("v").alias("mn"))
         joined = d.join(mins2, "u")
