@@ -612,7 +612,14 @@ def make_arrow_score_matcher_udf(spark: SparkSession, sigs: SignatureSet):
                 [fname_arr, yara_arr, c2_arr], names=["fname", "yara", "c2"]
             )
 
-    return match_scores_arrow
+    # The matcher is pure, but the non-deterministic marking is an
+    # optimizer fence (guide §4.4): without it, the candidate-first
+    # routed filter — which references this UDF's output — is pushed
+    # below the projection by SUBSTITUTING the UDF call into the
+    # predicate, and the plan carries TWO ArrowEvalPython nodes (every
+    # row pays the matcher twice). Pinned by
+    # tests/test_pipeline.py::test_scan_routed_plan_invariants.
+    return match_scores_arrow.asNondeterministic()
 
 
 def make_arrow_matcher_udf(spark: SparkSession, sigs: SignatureSet):
@@ -647,7 +654,9 @@ def make_arrow_matcher_udf(spark: SparkSession, sigs: SignatureSet):
                 [fname_arr, yara_arr, c2_arr], names=["fname", "yara", "c2"]
             )
 
-    return match_signatures_arrow
+    # optimizer fence against duplicated evaluation under pushed-down
+    # candidate filters — see make_arrow_score_matcher_udf.
+    return match_signatures_arrow.asNondeterministic()
 
 
 def _as_array(arr):

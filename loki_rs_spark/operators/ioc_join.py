@@ -78,12 +78,58 @@ def empty_reason_array() -> Column:
     return F.lit(None).cast(f"array<{REASON_TYPE}>")
 
 
+# Below this many entries a hash dim table MAY be rendered as literal
+# expressions (InSet probe / CASE lookup) instead of a broadcast join:
+# in local mode every broadcast exchange costs ~0.25-0.4s of per-action
+# latency (build job + torrent registration) — measured round 7 — which
+# dwarfs any per-row cost at ANY data volume since both renderings are
+# O(1) per row. Above the threshold the broadcast-join path is kept: a
+# million-entry IOC table belongs in a hash relation, not a CASE chain.
+# Same dual-path spirit as C2_GATE_MAX_LITERALS below.
+#
+# The literal rendering is only SAFE over a plain stored-table input
+# (see plain_relation_input): over the live synthetic-generator frame,
+# predicate pushdown substitutes the literal probes — and through them
+# the generator's multi-branch CASE trees — into filters below the
+# projection, and the plan explodes multiplicatively (measured: 4.4 MB
+# plan string, 30 s planning, 25x slower actions). The broadcast joins
+# double as pushdown fences there. Over a real table scan the same
+# substitution is exactly the GOOD predicate pushdown.
+HASH_DIM_MAX_LITERALS = 64
+
+
+def plain_relation_input(df: DataFrame) -> bool:
+    """True when `df` is a plain relation read (scan + projections/
+    filters, no Generate/Join/Window and no oversized expression trees) —
+    the shape of the materialized transcript table and of any real table
+    scan, where literal hash-dim rendering is safe and profitable."""
+    try:
+        s = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 - conservatively take the join path
+        return False
+    return (
+        len(s) < 20_000
+        and "Generate" not in s
+        and "Join" not in s
+        and "Window" not in s
+    )
+
+
 def anti_join_fp_hashes(
-    spark: SparkSession, df: DataFrame, sigs: SignatureSet
+    spark: SparkSession,
+    df: DataFrame,
+    sigs: SignatureSet,
+    literal_dims: bool = False,
 ) -> DataFrame:
     """J2: drop any row whose md5/sha1/sha256 appears in the FP table —
-    BEFORE matching, so the expensive stages never see the row. Three
-    broadcast anti-joins (each a BroadcastHashJoin, no shuffle)."""
+    BEFORE matching, so the expensive stages never see the row. ALWAYS
+    join-rendered: a literal NOT-IN filter here gets pushed below the
+    hash projection by substituting md5(text) into the scan filter, and
+    every row hashes twice (measured +20-30% on the big gate legs), so
+    `literal_dims` is accepted for signature symmetry but ignored. Three
+    broadcast anti-joins (each a BroadcastHashJoin, no shuffle); the
+    first also fences further predicate pushdown toward the scan."""
+    del literal_dims  # see docstring: filter rendering double-hashes
     for hash_type in HASH_TYPES:
         values = [h.hash_value for h in sigs.hashes_of_type(hash_type, fp=True)]
         if not values:
@@ -107,6 +153,7 @@ def hash_reason_array(
     df: DataFrame,
     sigs: SignatureSet,
     source_kind: str = "file",
+    literal_dims: bool = False,
 ) -> tuple[DataFrame, Column, Column]:
     """J1: broadcast left joins per hash type; at most one IOC fires per
     type and all three can fire (src/modules/filesystem_scan.rs:862-896).
@@ -137,6 +184,40 @@ def hash_reason_array(
         uniq: dict[str, tuple] = {}
         for h in iocs:
             uniq.setdefault(h.hash_value, (h.hash_value, h.score, h.description))
+        if literal_dims and len(uniq) <= HASH_DIM_MAX_LITERALS:
+            # literal CASE lookup — join-free rendering of the same left
+            # join against a unique-keyed dim (see HASH_DIM_MAX_LITERALS):
+            # at most one entry can match, NULL hashes match nothing,
+            # exactly the broadcast path's semantics.
+            col = df[hash_type]
+            hit_struct = None
+            for hv, score, desc in uniq.values():
+                payload = F.struct(
+                    F.lit(hv).alias("h"),
+                    F.lit(score).cast("int").alias("s"),
+                    F.lit(desc).cast("string").alias("d"),
+                )
+                hit_struct = (
+                    F.when(col == F.lit(hv), payload)
+                    if hit_struct is None
+                    else hit_struct.when(col == F.lit(hv), payload)
+                )
+            hit_conds.append(
+                F.coalesce(
+                    col.isin(*[v[0] for v in uniq.values()]), F.lit(False)
+                )
+            )
+            reason_cols.append(
+                F.when(
+                    hit_struct.isNotNull(),
+                    reason_struct(
+                        F.concat(F.lit(msg_prefix), hit_struct["h"]),
+                        hit_struct["s"],
+                        hit_struct["d"],
+                    ),
+                )
+            )
+            continue
         ioc_df = spark.createDataFrame(
             list(uniq.values()),
             f"ioc_{hash_type}_hash string, ioc_{hash_type}_score int, "

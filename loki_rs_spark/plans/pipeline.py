@@ -39,6 +39,7 @@ from ..operators.ioc_join import (
     c2_text_gate,
     filename_reason_array,
     hash_reason_array,
+    plain_relation_input,
     reason_struct,
 )
 from ..operators.matcher import make_matcher_udf
@@ -109,12 +110,18 @@ def scan_transcripts(
     hash type, with a process-specific message (see hash_reason_array)."""
     if matcher not in ("arrow", "pandas", "catalyst"):
         raise ValueError(f"unknown matcher impl: {matcher}")
+    # literal hash-dim rendering only over stored-table inputs (the
+    # production shape — see ioc_join.HASH_DIM_MAX_LITERALS): each
+    # avoided broadcast exchange saves ~0.25-0.4s of per-action latency;
+    # over the live generator frame the joins stay, doubling as pushdown
+    # fences for the generator's CASE trees.
+    literal_dims = plain_relation_input(transcripts)
     df = apply_exclusions(transcripts, cfg.exclude_patterns)
     df = apply_size_filter(df, cfg.max_text_chars)
     scanned = df
 
     df = with_hashes(df)
-    df = anti_join_fp_hashes(spark, df, sigs)
+    df = anti_join_fp_hashes(spark, df, sigs, literal_dims=literal_dims)
 
     if matcher in ("arrow", "pandas"):
         from ..operators.arrow_matcher import (
@@ -185,7 +192,7 @@ def scan_transcripts(
         )
 
     df, hash_reasons, hash_hit = hash_reason_array(
-        spark, df, sigs, source_kind=source_kind
+        spark, df, sigs, source_kind=source_kind, literal_dims=literal_dims
     )
     # J4 C2 enrichment. Arrow path: the matcher UDF already resolved the
     # matches (struct field `c2`, host/score/description per host
@@ -319,12 +326,13 @@ def scan_transcripts_scores(
     from ..operators.arrow_matcher import make_arrow_score_matcher_udf
     from ..operators.ext_bits import ext_bits_col
 
+    literal_dims = plain_relation_input(transcripts)
     df = apply_exclusions(transcripts, cfg.exclude_patterns)
     df = apply_size_filter(df, cfg.max_text_chars)
     scanned = df
 
     df = with_hashes(df)
-    df = anti_join_fp_hashes(spark, df, sigs)
+    df = anti_join_fp_hashes(spark, df, sigs, literal_dims=literal_dims)
 
     sudf = make_arrow_score_matcher_udf(spark, sigs)
     df = df.withColumn(
@@ -332,7 +340,7 @@ def scan_transcripts_scores(
     )
 
     df, hash_reasons, hash_hit = hash_reason_array(
-        spark, df, sigs, source_kind=source_kind
+        spark, df, sigs, source_kind=source_kind, literal_dims=literal_dims
     )
     hash_scores = F.transform(_nz(hash_reasons), lambda r: r["score"])
 

@@ -165,5 +165,37 @@ def test_scan_routed_plan_invariants(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("ArrowEvalPython") == 1
     assert "PushedFilters: [IsNotNull(tool)]" in plan
-    assert plan.count("BroadcastExchange") == 4  # FP anti + 3 hash dims
+    # round-7: over a stored-table input the tiny hash-IOC dims render as
+    # literal InSet/CASE lookups (ioc_join.HASH_DIM_MAX_LITERALS), so
+    # only the FP anti-join's broadcast remains (3 avoided broadcast
+    # builds at ~0.25-0.4s of per-pass latency each; the FP drop stays a
+    # join because a literal filter would push md5(text) into the scan
+    # and hash every row twice)
+    assert plan.count("BroadcastExchange") == 1
     assert "LeftAnti" in plan  # FP anti-join upstream of the UDF
+
+
+def test_literal_dims_equal_join_dims(spark, sigs, tmp_path):
+    """The literal hash-dim rendering (stored-table input) must produce
+    routed rows identical to the broadcast-join rendering (generator
+    input) — same corpus, same rep."""
+    from loki_rs_spark.sources.transcripts import materialized_transcripts
+
+    gen = load_transcripts(spark, SF_SMALL, rep=4)
+    mat = materialized_transcripts(spark, SF_SMALL, rep=4, base_dir=str(tmp_path))
+    cols = ["conv_id", "turn_idx", "md5", "sha1", "sha256", "score",
+            "level", "n_reasons"]
+    r_join = scan_transcripts(spark, gen, sigs, CFG).routed.select(*cols)
+    r_lit = scan_transcripts(spark, mat, sigs, CFG).routed.select(*cols)
+    assert sorted(map(tuple, r_join.collect())) == sorted(
+        map(tuple, r_lit.collect())
+    )
+    # and the score-only pipeline agrees with itself across the two paths
+    from loki_rs_spark.plans.pipeline import scan_transcripts_scores
+
+    s_cols = ["conv_id", "turn_idx", "n_reasons", "score", "level"]
+    s_join = scan_transcripts_scores(spark, gen, sigs, CFG).routed.select(*s_cols)
+    s_lit = scan_transcripts_scores(spark, mat, sigs, CFG).routed.select(*s_cols)
+    assert sorted(map(tuple, s_join.collect())) == sorted(
+        map(tuple, s_lit.collect())
+    )
