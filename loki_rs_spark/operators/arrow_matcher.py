@@ -227,23 +227,25 @@ def match_record_batch(
             mask &= ~tool_c.mask(
                 lambda a: _mask(a, ioc.fp_pattern, regex=True)
             )
+        # one shared (read-only) struct dict per IOC — its fields are
+        # row-independent, so hit rows append the same object instead of
+        # building a fresh dict per hit
+        entry = {
+            "pattern": ioc.pattern,
+            "score": ioc.score,
+            "description": ioc.description,
+        }
         for idx in np.nonzero(mask)[0]:
             i = int(idx)
-            fn_rows.setdefault(i, []).append(
-                {
-                    "pattern": ioc.pattern,
-                    "score": ioc.score,
-                    "description": ioc.description,
-                }
-            )
+            fn_rows.setdefault(i, []).append(entry)
             fn_counts[i] += 1
     fname_arr = _list_struct_array(FNAME_STRUCT, fn_counts, fn_rows)
 
     # ---- YARA subset (P5)
     ya_counts = np.zeros(n, dtype=np.int64)
     ya_rows: dict[int, list[dict]] = {}
-    text_cache: dict[int, str] = {}
     text_ops = None
+    row_u = None  # lazy row -> kernel-input index map (hit rows only)
     for compiled in engine.yara:
         masks = [
             text_c.mask(lambda a, _s=s: _string_mask(a, _s))
@@ -259,26 +261,38 @@ def match_record_batch(
             strings_by_ident=compiled.strings_by_ident,
         )
         fired = render_condition(compiled.ast, backend)
-        for idx in np.nonzero(fired)[0]:
+        fired_idx = np.nonzero(fired)[0]
+        if len(fired_idx) == 0:
+            continue
+        if row_u is None:
+            row_u = text_c.row_to_kernel_index()
+        # Matched strings depend only on (rule, text VALUE): the string
+        # masks scatter from per-unique kernel results, so rows sharing a
+        # dict-encoded unique value fire with identical matched_strings.
+        # Compute the struct ONCE per unique value and append the shared
+        # (read-only) dict per hit row — on replicated corpora (the
+        # rep-1600 bench table has ~7 distinct texts per 10k-row batch)
+        # this removes ~all per-hit .as_py() + occurrence-walk work.
+        rule = compiled.rule
+        per_unique: dict[int, dict] = {}
+        for idx in fired_idx:
             i = int(idx)
             if ya_counts[i] >= MAX_YARA_MATCHES:
                 continue
-            row_text = text_cache.get(i)
-            if row_text is None:
-                row_text = text[i].as_py()
-                text_cache[i] = row_text
-            matched_strings: list[str] = []
-            for (identifier, rx), mask, s in zip(
-                compiled.patterns, masks, compiled.rule.strings
-            ):
-                if not mask[i]:
-                    continue
-                matched_strings.extend(
-                    string_occurrence_lines(s, rx, row_text)
-                )
-            rule = compiled.rule
-            ya_rows.setdefault(i, []).append(
-                {
+            u = int(row_u[i])
+            entry = per_unique.get(u)
+            if entry is None:
+                row_text = text_c.kernel_input[u].as_py()
+                matched_strings: list[str] = []
+                for (identifier, rx), mask, s in zip(
+                    compiled.patterns, masks, compiled.rule.strings
+                ):
+                    if not mask[i]:
+                        continue
+                    matched_strings.extend(
+                        string_occurrence_lines(s, rx, row_text)
+                    )
+                entry = {
                     "rule": rule.name,
                     "score": rule.score,
                     "description": rule.description,
@@ -286,7 +300,8 @@ def match_record_batch(
                     "reference": rule.reference,
                     "matched_strings": matched_strings,
                 }
-            )
+                per_unique[u] = entry
+            ya_rows.setdefault(i, []).append(entry)
             ya_counts[i] += 1
     yara_arr = _list_struct_array(YARA_STRUCT, ya_counts, ya_rows)
 
