@@ -119,7 +119,17 @@ def string_occurrence_lines(s, rx: re.Pattern, row_text: str) -> list[str]:
       + shift, matched data minus the literal prefix (each prefix unit
       matches exactly one char, so shift chars = the prefix match);
     * bordered plain literals enumerate ALL overlapping occurrences
-      (+1-step find walk; re.finditer is non-overlapping)."""
+      (+1-step find walk; re.finditer is non-overlapping).
+
+    Documented output-only divergence (round-6 ADVICE, low): REGEX
+    strings — including lookbehind/backref transpiles — enumerate
+    occurrences with non-overlapping finditer, so a rewritten pattern
+    that can self-overlap (e.g. '(?<=ab)ab' on 'ababab') reports fewer
+    matched_strings entries than yara-x would. Rule FIRING is unaffected
+    (the boolean kernels test containment, not counts), and a stepped
+    re-enumeration for arbitrary regexes would have to answer
+    leftmost-longest-vs-all-starts questions yara-x itself answers
+    differently per engine — so the divergence is pinned here instead."""
     if s.private:
         return []
     out: list[str] = []

@@ -303,14 +303,34 @@ _CAPTURE_GROUP_RE = re.compile(r"(?<!\\)\((?!\?)")
 _CLASS_GROUP_RE = re.compile(r"\((\[(?:[^\]\\^-]|\\[^A-Za-z0-9])+\])\)")
 
 
+def _genuine_backref_positions(pattern: str) -> list[int]:
+    """Start offsets of genuine \\1 backreferences, scanning by escape
+    pairs (the way validate_shared_regex walks): a '1' that follows an
+    ESCAPED backslash (pattern text '\\\\1', i.e. literal backslash then
+    digit) is NOT a backref and must not be rewritten (round-6 ADVICE)."""
+    out: list[int] = []
+    i = 0
+    while i < len(pattern):
+        if pattern[i] == "\\":
+            if i + 1 < len(pattern) and pattern[i + 1] == "1":
+                out.append(i)
+            i += 2
+        else:
+            i += 1
+    return out
+
+
 def _expand_backreference(pattern: str) -> str | None:
     """If `pattern` is a backreference idiom RE2 cannot express but that
     is mechanically transpilable — exactly ONE capturing group, the group
     a simple character class of single literal chars, referenced only as
     \\1 (e.g. (['\"]).{4,16}\\1) — expand it into the equivalent finite
     alternation ('.{4,16}'|\".{4,16}\"): same matches, same offsets, same
-    matched data. Returns None when the idiom doesn't apply."""
-    if "\\1" not in pattern:
+    matched data. Returns None when the idiom doesn't apply. Backrefs are
+    located by an escape-pair scan (see _genuine_backref_positions), so a
+    literal backslash-then-'1' sequence never triggers the rewrite."""
+    refs = _genuine_backref_positions(pattern)
+    if not refs:
         return None
     if re.search(r"\\[2-9]", pattern):
         return None  # higher backrefs: a second group must exist
@@ -332,16 +352,22 @@ def _expand_backreference(pattern: str) -> str | None:
             i += 1
     if not 0 < len(chars) <= 16 or len(set(chars)) != len(chars):
         return None
-    if "\\1" in pattern[: g.start()]:
-        return None  # backref before the group: invalid anyway
+    if any(r < g.end() for r in refs):
+        return None  # backref before/inside the group: invalid anyway
     alts = []
+    tail_refs = [r - g.end() for r in refs]
+    tail = pattern[g.end():]
     for ch in chars:
         lit = re.escape(ch)
-        alts.append(
-            pattern[: g.start()]
-            + lit
-            + pattern[g.end() :].replace("\\1", lit)
-        )
+        # splice the literal at the genuine backref offsets only
+        parts = []
+        prev = 0
+        for r in tail_refs:
+            parts.append(tail[prev:r])
+            parts.append(lit)
+            prev = r + 2
+        parts.append(tail[prev:])
+        alts.append(pattern[: g.start()] + lit + "".join(parts))
     return "(?:" + "|".join(alts) + ")"
 
 

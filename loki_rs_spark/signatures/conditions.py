@@ -748,6 +748,15 @@ def resolve_percent_of(node, idents):
         n_sel = sum(
             1 for i in idents if selector_matches(node.selector, i)
         )
+        if n_sel == 0:
+            # yara-x rejects quantifiers over empty string sets; emitting
+            # ceil(P*0/100)=0 here would produce an always-true 0-of node
+            # that bypasses both the none-of desugar and the
+            # exceeds-set-size validation (round-6 ADVICE)
+            raise YaraUnsupportedError(
+                f"'{node.n} of' selects no strings "
+                f"(selector {node.selector!r})"
+            )
         return _replace(node, n=str(-(-p * n_sel // 100)))
     if isinstance(node, Not):
         return Not(resolve_percent_of(node.operand, idents))
@@ -917,6 +926,43 @@ def collect_ext_atoms(sigs) -> list[ExtPred]:
     return atoms
 
 
+def blank_eval(node) -> bool | None:
+    """The condition's value on fully-BLANKED text (the pandas-path
+    non-candidate gate replaces text with ''), or None when it depends on
+    non-text inputs (external variables are computed from the real row
+    and are untouched by blanking)."""
+    if isinstance(
+        node, (StrRef, AtExpr, InExpr, OffsetCmp, UintCmp, ExistsFrom)
+    ):
+        return False  # nothing matches/reads inside ''
+    if isinstance(node, OfThem):
+        if node.n in ("any", "all"):
+            return False
+        return int(node.n) <= 0  # 0-of is vacuously true on blank
+    if isinstance(node, (CountCmp, SizeCmp)):
+        return cmp_int(node.op, 0, node.value)
+    if isinstance(node, BoolLit):
+        return node.value
+    if isinstance(node, Not):
+        inner = blank_eval(node.operand)
+        return None if inner is None else not inner
+    if isinstance(node, AndExpr):
+        vals = [blank_eval(x) for x in node.items]
+        if any(v is False for v in vals):
+            return False
+        if all(v is True for v in vals):
+            return True
+        return None
+    if isinstance(node, OrExpr):
+        vals = [blank_eval(x) for x in node.items]
+        if any(v is True for v in vals):
+            return True
+        if all(v is False for v in vals):
+            return False
+        return None
+    return None  # ExtPred and anything unknown: depends on the row
+
+
 def condition_negates_strings(node, neg: bool = False) -> bool:
     """True if the condition is NOT monotone in the text content, i.e.
     BLANKING a row's text (the pipeline's non-candidate gate, which can
@@ -942,7 +988,23 @@ def condition_negates_strings(node, neg: bool = False) -> bool:
         return blank_fires != neg
     if isinstance(node, Not):
         return condition_negates_strings(node.operand, not neg)
-    if isinstance(node, (AndExpr, OrExpr)):
+    if isinstance(node, AndExpr):
+        # Under an EVEN number of nots this is a conjunction: it can only
+        # falsely fire on a blanked row if EVERY conjunct is true there,
+        # so one conjunct that is definitely False on blank text (e.g. a
+        # positive string ref) keeps the whole AND gate-safe no matter
+        # what the other conjuncts do (round-6 ADVICE: '$t and 0 of
+        # ($bad*)' must not disable the text gate bundle-wide).
+        if not neg and any(blank_eval(x) is False for x in node.items):
+            return False
+        return any(condition_negates_strings(x, neg) for x in node.items)
+    if isinstance(node, OrExpr):
+        # Dual: under an ODD number of nots the OR is effectively a
+        # conjunction of negated items; an item that is definitely True
+        # on blank text makes its negation False there, so the
+        # conjunction cannot fire on a blanked row.
+        if neg and any(blank_eval(x) is True for x in node.items):
+            return False
         return any(condition_negates_strings(x, neg) for x in node.items)
     return False
 

@@ -1023,6 +1023,38 @@ def test_filesize_negation_soundness():
     assert condition_negates_strings(parse_condition("not filesize > 10"))
 
 
+def test_and_with_positive_string_keeps_gate(sigs):
+    """Round-6 ADVICE (medium): an AND whose blanked value is pinned
+    False by a positive conjunct can never fire on a blanked row, so
+    bundling a '$t and 0 of ($bad*)' rule must NOT disable the text gate
+    bundle-wide — and the bundled corpus (which carries R6_Zero_Of)
+    must therefore keep a non-None text gate."""
+    from loki_rs_spark.operators.arrow_matcher import match_gate_exprs
+    from loki_rs_spark.signatures.conditions import (
+        condition_negates_strings,
+        parse_condition,
+    )
+
+    # '$t and <negated term>': the positive $t pins the blanked AND False
+    assert not condition_negates_strings(
+        parse_condition("$t and not $bad")
+    )
+    assert not condition_negates_strings(
+        parse_condition("$t and 0 of ($bad1, $bad2)")
+    )
+    # without the positive anchor the negation is still unsafe
+    assert condition_negates_strings(parse_condition("not $bad"))
+    assert condition_negates_strings(
+        parse_condition("0 of ($bad1, $bad2)")
+    )
+    # an OR is only as safe as its branches
+    assert condition_negates_strings(
+        parse_condition("$t or not $bad")
+    )
+    # the real bundled corpus keeps its text gate enabled
+    assert match_gate_exprs(sigs)[0] is not None
+
+
 @pytest.mark.parametrize(
     "condition,length,hit",
     [
@@ -1501,7 +1533,33 @@ def test_percent_quantifier_parse_and_resolution():
         "  condition:\n    67% of them\n}"
     )
     assert rules[0].condition_ast.n == "3"  # ceil(2.01)
+    # a selector matching ZERO strings must reject loudly (yara-x rejects
+    # quantifiers over empty sets; ceil(P*0/100)=0 would be an always-true
+    # 0-of node bypassing validation — round-6 ADVICE)
+    with pytest.raises(YaraUnsupportedError):
+        resolve_percent_of(
+            parse_condition("50% of ($zzz*)"), ["$a", "$b"]
+        )
     with pytest.raises(YaraUnsupportedError):  # none-of needs 'of'
         parse_yara_rules(
             'rule N {\n  strings:\n    $a = "x"\n  condition:\n    none\n}'
         )
+
+
+def test_backref_expansion_escape_pair_scan():
+    """A pattern containing an ESCAPED backslash followed by a literal
+    '1' (no real backref) must not be silently expanded into a different
+    alternation (round-6 ADVICE)."""
+    from loki_rs_spark.signatures.compile import _expand_backreference
+
+    # genuine backref: expands
+    out = _expand_backreference("(['\"]).{4,16}\\1")
+    assert out is not None and "'.{4,16}'" in out
+    # literal backslash + digit 1: NOT a backref -> no expansion
+    assert _expand_backreference("(['\"])x\\\\1") is None
+    # mixed: escaped-backslash-1 plus a genuine \1 later — only the
+    # genuine one is spliced
+    out = _expand_backreference("(['\"])x\\\\1y\\1")
+    assert out is not None
+    assert "\\\\1" in out  # the literal pair survives verbatim
+    assert out.count("'") >= 2  # genuine ref replaced by the class char
