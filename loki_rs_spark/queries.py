@@ -1109,12 +1109,14 @@ def _simhash_band_value(token_md5s: F.Column, band: int, bits: int) -> F.Column:
 
 
 def _token_md5s_frame(
-    spark: SparkSession, sf_dir: str, rep: int = DEDUP_REP
+    spark: SparkSession, sf_dir: str, rep: int | None = None
 ) -> DataFrame:
     """(uid, _th: array of md5 hex per distinct whitespace token) — the
     shared stage both simhash queries start from. Staged through an alias
-    so each md5 evaluates once however many bands consume it."""
-    df = load_transcripts(spark, sf_dir, rep=rep)
+    so each md5 evaluates once however many bands consume it. DEDUP_REP
+    is read at CALL time (a def-time default would freeze it and break
+    jobs/scaleup_probe.py's rep monkeypatch)."""
+    df = load_transcripts(spark, sf_dir, rep=DEDUP_REP if rep is None else rep)
     toks = F.array_distinct(F.split("text", " "))
     return df.select(
         "uid",
