@@ -820,11 +820,17 @@ def neardup_groups_from(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .repartition("u")
         .localCheckpoint(eager=True)
     )
+    # lazy checkpoint (round 7, guide §1.2 — one job per round, not two):
+    # the convergence-probe aggregate reads EVERY partition of the frame,
+    # so it fully materializes the checkpoint in the same job the probe
+    # already pays for; lineage is still cut. (`edges` above stays eager:
+    # it is consumed twice per round, and lazy materialization under two
+    # concurrent consumers can compute the expensive pair subtree twice.)
     labels = (
         edges.select(F.col("u").alias("uid"))
         .distinct()
         .withColumn("label", F.col("uid"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # Convergence probe (round-7 optimization, guide §1.2 — fewer jobs
@@ -850,7 +856,7 @@ def neardup_groups_from(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             labels.union(msgs)
             .groupBy("uid")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = _label_sum(new)
         labels = new
@@ -1031,6 +1037,11 @@ def neardup_groups_bigstar_from(
             joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .union(joined.select("u", F.col("mn").alias("v")))
             .filter(F.col("u") != F.col("v"))
+            # stays EAGER (unlike the label-prop loop's lazy per-round
+            # checkpoint): an interleaved A/B showed the exceptAll probe
+            # runs no faster — and slightly slower — off a lazily-marked
+            # frame, because eager materialization hands AQE accurate
+            # size stats for the probe's union-aggregate plan.
             .distinct()
             .localCheckpoint(eager=True)
         )
