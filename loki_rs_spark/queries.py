@@ -536,6 +536,39 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _top_multiplicity(arr: F.Column) -> F.Column:
+    """Max element multiplicity of a string array as ONE fold over the
+    sorted array (equal elements are adjacent after array_sort, so the
+    longest run IS the max count): O(n log n) per row instead of the
+    O(distinct x n) nested filter-per-distinct-element scan the round-6
+    rendering used, and ~n interpreted lambda steps instead of
+    ~distinct x n (round 7; value identical by definition — multiplicity
+    does not depend on how it is counted). NULL array -> NULL, matching
+    array_max-over-transform on a NULL input. Sole divergence from the
+    old rendering: an EMPTY array yields 0 where array_max([]) was NULL —
+    unreachable from q_repetition_stats, whose input is split(text, " ")
+    (always >= 1 element on non-NULL text); pinned by test."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition quality signals — the filters a
     training pipeline uses to drop boilerplate/spam: duplicated-3-gram
@@ -555,17 +588,18 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice("w", i, F.lit(3))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_grams = F.size(grams)
-    n_dup_grams = n_grams - F.size(F.array_distinct(grams))
+    # stage the gram array through an alias: codegen does not CSE across
+    # higher-order-function subtrees, so referencing `grams` from three
+    # expressions below would rebuild the transform three times per row
+    # (round 7 — same staging pattern as the simhash token-md5 frame;
+    # CollapseProject keeps a multi-referenced non-cheap alias staged)
+    t = t.select("uid", "w", grams.alias("grams"))
+    n_grams = F.size("grams")
+    n_dup_grams = n_grams - F.size(F.array_distinct("grams"))
     dup_3gram_bp = F.when(
         n_grams > 0, F.floor(n_dup_grams * 10000 / n_grams).cast("int")
     ).otherwise(F.lit(0))
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("w")),
-            lambda u: F.size(F.filter(F.col("w"), lambda x: x == u)),
-        )
-    )
+    top_count = _top_multiplicity(F.col("w"))
     top_word_bp = F.floor(top_count * 10000 / n_words).cast("int")
     return t.select(
         "uid",
@@ -1530,7 +1564,17 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: brute-force all-pairs cosine with a
     broadcast self-join (the exact baseline; the LSH variant is the scale
     path). Threshold 0.45 chosen to yield non-trivial pairs on the
-    synthetic embeddings."""
+    synthetic embeddings.
+
+    The zip_with+aggregate fold rendering below was A/B'd in round 7
+    against (a) a statically unrolled 64-term arithmetic tree and (b) a
+    single fused aggregate over constant indices with element_at — both
+    bit-identical in output and both SLOWER (58.6s / 26.3s vs 20.3s at
+    sf0.1): the giant flat expressions defeat JIT-friendly codegen,
+    while the HOF fold is at least a compact interpreted loop, and
+    predicate pushdown already places the cosine filter below the
+    projection so the fold runs once per candidate pair, not twice.
+    Kept as-is deliberately."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x))

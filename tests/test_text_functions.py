@@ -164,3 +164,49 @@ def test_pii_redact_patterns(spark):
              text, PII_EMAIL, PII_IP, PII_PHONE],
         ).fetchone()
         assert (de, di, dp, dr) == (e, i, p, r), text
+
+
+def test_top_multiplicity_matches_brute_force(spark):
+    """The round-7 sorted-run fold in q_repetition_stats must report the
+    same max element multiplicity as the definitional per-distinct count
+    (the round-6 rendering), including ties, all-same, all-distinct,
+    empty-string tokens, and NULL arrays; the empty-array divergence
+    (0 vs NULL) is pinned as unreachable-but-known."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from loki_rs_spark.queries import _top_multiplicity
+
+    cases = [
+        ["a"],
+        ["a", "a", "a"],
+        ["a", "b", "c"],
+        ["b", "a", "b", "c", "a", "b"],
+        ["x", "y", "x", "y"],  # tie
+        ["", "a", "", ""],  # empty-string tokens
+        ["z", "Z", "z"],  # case-sensitive
+        None,  # NULL array
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, w array<string>"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", _top_multiplicity(F.col("w")).alias("m"))
+        .collect()
+    }
+    for i, c in enumerate(cases):
+        expect = None if c is None else max(Counter(c).values())
+        assert got[i] == expect, (i, c)
+    # the one divergence from array_max-over-transform: empty array -> 0
+    empty = spark.createDataFrame([(0,)], "i int").select(
+        _top_multiplicity(F.array().cast("array<string>")).alias("m")
+    ).collect()
+    assert empty[0]["m"] == 0
+    # ...and q_repetition_stats can never feed it one: split(text, " ")
+    # yields at least one element for any non-NULL text
+    probe = spark.range(1).select(
+        F.size(F.split(F.lit(""), " ")).alias("n")
+    ).collect()
+    assert probe[0]["n"] == 1
